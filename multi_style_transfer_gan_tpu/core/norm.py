@@ -1,0 +1,103 @@
+"""Normalization primitives with PyTorch-default semantics on NHWC data.
+
+Reference usage (see SURVEY.md §2.1):
+- ``nn.InstanceNorm2d(C)`` everywhere in the enhanced models — PyTorch default
+  is affine=False, track_running_stats=False, eps=1e-5, i.e. a *stateless*
+  per-(sample, channel) normalization (enhanced_generator.py:93 etc.).
+- ``nn.BatchNorm2d(C)`` in the plain CycleGAN generator (pretrain.py:69-89) —
+  affine=True with running stats; inference uses running stats, training uses
+  batch stats with momentum-0.1 running updates.
+- ``nn.utils.spectral_norm`` on every discriminator conv
+  (enhanced_generator.py:269-271) — one step of power iteration per forward.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def instance_norm(x, *, eps=1e-5, weight=None, bias=None):
+    """InstanceNorm2d with PyTorch defaults (affine=False unless given).
+
+    x: (B, H, W, C); normalizes each (sample, channel) plane over H, W.
+    Uses biased variance, like PyTorch. Statistics computed in fp32 for
+    bf16 stability, result cast back to x.dtype.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def batch_norm(x, running_mean, running_var, weight, bias, *,
+               training=False, momentum=0.1, eps=1e-5):
+    """BatchNorm2d matching PyTorch semantics.
+
+    x: (B, H, W, C). In eval mode normalizes with running stats. In training
+    mode normalizes with biased batch stats and returns updated running stats
+    (running update uses the *unbiased* variance, as PyTorch does).
+
+    Returns:
+      (out, new_running_mean, new_running_var) — running stats pass through
+      unchanged in eval mode.
+    """
+    xf = x.astype(jnp.float32)
+    if training:
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * running_mean + momentum * mean
+        new_var = (1 - momentum) * running_var + momentum * unbiased
+    else:
+        mean, var = running_mean.astype(jnp.float32), running_var.astype(jnp.float32)
+        new_mean, new_var = running_mean, running_var
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = out * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype), new_mean, new_var
+
+
+def spectral_normalize(w_orig, u, *, n_power_iterations=1, eps=1e-12,
+                       update=True):
+    """Spectral normalization of a conv kernel, PyTorch-compatible.
+
+    PyTorch's ``nn.utils.spectral_norm`` reshapes the OIHW weight to
+    (O, I*kh*kw) and runs power iteration with persistent ``u`` (O,) /
+    ``v`` (I*kh*kw,) buffers; the effective weight is W / sigma.
+
+    Here ``w_orig`` is HWIO (our layout); we reshape to (O, H*W*I) —
+    the same matrix up to a column permutation, which leaves sigma (and the
+    u vector) identical, so imported torch ``weight_u`` buffers stay valid.
+
+    Args:
+      w_orig: (kh, kw, I, O) unnormalized kernel.
+      u: (O,) persistent left singular vector estimate.
+      update: if False (e.g. eval), uses u as-is without iterating,
+        matching torch's behavior under ``model.eval()``.
+
+    Returns:
+      (w_normalized, new_u)
+    """
+    o = w_orig.shape[-1]
+    mat = jnp.transpose(w_orig.reshape(-1, o)).astype(jnp.float32)  # (O, HWI)
+
+    def _l2n(v):
+        return v / (jnp.linalg.norm(v) + eps)
+
+    uu = u.astype(jnp.float32)
+    if update:
+        for _ in range(n_power_iterations):
+            v = _l2n(mat.T @ uu)
+            uu = _l2n(mat @ v)
+        uu = jax.lax.stop_gradient(uu)
+        v = jax.lax.stop_gradient(v)
+    else:
+        v = _l2n(mat.T @ uu)
+    sigma = uu @ (mat @ v)
+    return (w_orig / sigma).astype(w_orig.dtype), uu.astype(u.dtype)
