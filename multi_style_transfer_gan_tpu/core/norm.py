@@ -63,7 +63,7 @@ def batch_norm(x, running_mean, running_var, weight, bias, *,
     return out.astype(x.dtype), new_mean, new_var
 
 
-def spectral_normalize(w_orig, u, *, n_power_iterations=1, eps=1e-12,
+def spectral_normalize(w_orig, u, v=None, *, n_power_iterations=1, eps=1e-12,
                        update=True):
     """Spectral normalization of a conv kernel, PyTorch-compatible.
 
@@ -78,17 +78,22 @@ def spectral_normalize(w_orig, u, *, n_power_iterations=1, eps=1e-12,
     Args:
       w_orig: (kh, kw, I, O) unnormalized kernel.
       u: (O,) persistent left singular vector estimate.
-      update: if False (e.g. eval), uses u as-is without iterating,
-        matching torch's behavior under ``model.eval()``.
+      v: optional (I*kh*kw,)-equivalent right vector. In eval mode
+        (update=False) a stored torch ``weight_v`` gives exact parity with
+        ``model.eval()``, which reuses both buffers without iterating.
+        NOTE: a torch ``weight_v`` is ordered for the (O, I*kh*kw) reshape of
+        the OIHW weight; ours is the (O, H*W*I) reshape — permuted orders.
+        The importer converts (see weights.torch_import._convert_weight_v).
+      update: if False (eval), no power iteration runs.
 
     Returns:
-      (w_normalized, new_u)
+      (w_normalized, new_u, new_v)
     """
     o = w_orig.shape[-1]
     mat = jnp.transpose(w_orig.reshape(-1, o)).astype(jnp.float32)  # (O, HWI)
 
-    def _l2n(v):
-        return v / (jnp.linalg.norm(v) + eps)
+    def _l2n(x):
+        return x / (jnp.linalg.norm(x) + eps)
 
     uu = u.astype(jnp.float32)
     if update:
@@ -97,7 +102,9 @@ def spectral_normalize(w_orig, u, *, n_power_iterations=1, eps=1e-12,
             uu = _l2n(mat @ v)
         uu = jax.lax.stop_gradient(uu)
         v = jax.lax.stop_gradient(v)
-    else:
+    elif v is None:
         v = _l2n(mat.T @ uu)
+    else:
+        v = v.astype(jnp.float32)
     sigma = uu @ (mat @ v)
-    return (w_orig / sigma).astype(w_orig.dtype), uu.astype(u.dtype)
+    return (w_orig / sigma).astype(w_orig.dtype), uu.astype(u.dtype), v

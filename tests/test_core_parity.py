@@ -145,7 +145,7 @@ def test_spectral_norm_matches_torch(rng):
     )).detach().numpy()
 
     w_hwio = np.transpose(w_orig, (2, 3, 1, 0))
-    w_norm, new_u = spectral_normalize(jnp.asarray(w_hwio), jnp.asarray(u0))
+    w_norm, new_u, _ = spectral_normalize(jnp.asarray(w_hwio), jnp.asarray(u0))
     np.testing.assert_allclose(np.asarray(new_u), sn.weight_u.detach().numpy(),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.transpose(np.asarray(w_norm), (3, 2, 0, 1)),

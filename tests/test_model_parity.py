@@ -1,0 +1,116 @@
+"""Full-model parity: .pth checkpoint -> import -> JAX forward == torch oracle.
+
+Covers the reference checkpoint flavors (G_AB_state_dict wrapper, bare state
+dict) and the channel/model-kind autodetection, end to end through real .pth
+files on disk.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from multi_style_transfer_gan_tpu.models import (
+    plain_generator_apply, enhanced_generator_apply, discriminator_apply,
+)
+from multi_style_transfer_gan_tpu.weights import (
+    load_pth, save_pth, extract_state_dict, detect_model_kind,
+    detect_channels, plain_generator_from_sd, enhanced_generator_from_sd,
+    discriminator_from_sd, convert_model,
+)
+
+import torch_oracle as oracle
+
+
+def _nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def test_plain_generator_pth_roundtrip(rng, tmp_path):
+    sd = oracle.make_plain_sd(rng, c=8)
+    path = tmp_path / "cyclegan_epoch_200.pth"
+    torch.save({"epoch": 200, "G_AB_state_dict": sd,
+                "G_BA_state_dict": sd}, path)
+
+    ckpt = load_pth(path)
+    got = extract_state_dict(ckpt, prefer="G_AB_state_dict")
+    assert detect_model_kind(got) == "plain"
+    assert detect_channels(got) == 8
+    params = plain_generator_from_sd(got)
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    ref = oracle.plain_generator_forward(sd, torch.from_numpy(x)).numpy()
+    out = plain_generator_apply(params, jnp.asarray(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_enhanced_generator_pth_roundtrip(rng, tmp_path):
+    sd = oracle.make_enhanced_sd(rng, c=8, num_blocks=1)
+    path = tmp_path / "G_AB_epoch_200.pth"
+    torch.save({"epoch": 200, "G_AB_state_dict": sd}, path)
+
+    got = extract_state_dict(load_pth(path))
+    assert detect_model_kind(got) == "enhanced"
+    assert detect_channels(got) == 8
+    params = enhanced_generator_from_sd(got)
+
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    ref = oracle.enhanced_generator_forward(sd, torch.from_numpy(x)).numpy()
+    out = enhanced_generator_apply(params, jnp.asarray(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_enhanced_generator_256(rng):
+    # the deployment shape: 256x256, channels=16, one transformer block
+    sd = oracle.make_enhanced_sd(rng, c=16, num_blocks=1)
+    params = enhanced_generator_from_sd(sd)
+    x = rng.standard_normal((1, 3, 256, 256)).astype(np.float32)
+    ref = oracle.enhanced_generator_forward(sd, torch.from_numpy(x)).numpy()
+    out = enhanced_generator_apply(params, jnp.asarray(_nhwc(x)))
+    diff = np.abs(np.asarray(out) - _nhwc(ref))
+    assert diff.max() < 5e-4, diff.max()
+
+
+def test_discriminator_eval_parity(rng):
+    sd = oracle.make_discriminator_sd(rng, c=8)
+    params, sn_state = discriminator_from_sd(sd)
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    ref_score, ref_struct = oracle.discriminator_forward(
+        sd, torch.from_numpy(x))
+    score, struct, _ = discriminator_apply(params, sn_state,
+                                           jnp.asarray(_nhwc(x)),
+                                           update_sn=False)
+    np.testing.assert_allclose(np.asarray(score), ref_score.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(struct), _nhwc(ref_struct.numpy()),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_convert_model_flavors(rng, tmp_path):
+    """convert_model.py parity: every checkpoint flavor normalizes to a flat sd."""
+    sd = oracle.make_plain_sd(rng, c=4)
+    flavors = [
+        {"G_AB_state_dict": sd},
+        {"G_BA_state_dict": sd},
+        {"epoch": 3, "model_state_dict": sd},
+        {"epoch": 3, "state_dict": sd},
+        sd,
+    ]
+    for i, ck in enumerate(flavors):
+        src = tmp_path / f"in_{i}.pth"
+        dst = tmp_path / f"out_{i}.pth"
+        torch.save(ck, src)
+        assert convert_model(src, dst)
+        flat = extract_state_dict(load_pth(dst))
+        assert set(flat) == set(sd)
+
+
+def test_legacy_G_A_key(rng, tmp_path):
+    sd = oracle.make_plain_sd(rng, c=4)
+    path = tmp_path / "legacy.pth"
+    torch.save({"G_A": sd, "G_B": sd}, path)
+    got = extract_state_dict(load_pth(path))
+    assert detect_model_kind(got) == "plain"
