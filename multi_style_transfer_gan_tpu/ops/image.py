@@ -129,11 +129,14 @@ def resize_center_crop(img, size: int = 256, method: str = "lanczos3"):
     B, H, W, C = img.shape
     h = jnp.full((B,), H, jnp.float32)
     w = jnp.full((B,), W, jnp.float32)
+    # PIL/torchvision integer geometry: resize to rounded (nh, nw), then
+    # crop at integer offsets ((nw - size)//2) — fractional offsets would
+    # shift content half a pixel vs the reference.
     scale = size / jnp.minimum(h, w)
-    new_h, new_w = h * scale, w * scale
-    # translation centers the scaled image; crop region is the canvas itself
-    ty = (size - new_h) / 2.0
-    tx = (size - new_w) / 2.0
+    new_h = jnp.round(h * scale)
+    new_w = jnp.round(w * scale)
+    ty = -jnp.floor((new_h - size) / 2.0)
+    tx = -jnp.floor((new_w - size) / 2.0)
 
     def one(im, sy, sx, t_y, t_x):
         out = jax.image.scale_and_translate(
@@ -142,7 +145,7 @@ def resize_center_crop(img, size: int = 256, method: str = "lanczos3"):
             method=method, antialias=True)
         return out
 
-    out = jax.vmap(one)(img, scale, scale, ty, tx)
+    out = jax.vmap(one)(img, new_h / h, new_w / w, ty, tx)
     return out[0] if single else out
 
 

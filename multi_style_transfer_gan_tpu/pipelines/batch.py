@@ -1,0 +1,238 @@
+"""Batch folder processing — the throughput path (batch_process_images.py).
+
+The reference iterates images one at a time with full CPU<->device round
+trips per image (batch_process_images.py:498-536 — SURVEY.md §3.2 calls this
+the #1 throughput win). Here:
+
+- a host thread pool decodes + canvas-pastes (PIL LANCZOS, exactly the
+  reference recipe :186-200) into uniform uint8 batches,
+- ONE jitted XLA program per mode runs normalize -> generator -> the whole
+  classical-CV post chain (sky/edge masks, per-pixel weight blend, color
+  boost, transition smoothing, equalize/guided-filter for 'advanced') on
+  device,
+- batches stream through an async prefetcher so the TPU never waits on
+  JPEG decode, and outputs crop/save on a separate pool.
+
+Faithful-behavior notes (verified against the reference source):
+- 'advanced' computes a pyrMeanShiftFiltering segmentation it never uses
+  (:373 — dead code) and its "edge sharpening" blends the image with
+  itself (addWeighted(x, 1.5, x, -0.5) == x, :399-403 — a no-op); we
+  replicate the *behavior* (i.e. omit both) and note it here.
+- detail weight: enhanced uses strength - 0.3*detail (:337), advanced uses
+  strength - 0.4*detail (:383).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from ..data import list_images
+from ..ops import to_model_range, from_model_range, aspect_crop_bounds
+from ..ops.color import rgb_to_hsv, rgb_to_gray, rgb_to_yuv, yuv_to_rgb
+from ..ops.filters import (
+    canny, gaussian_filter, gaussian_blur, dilate, erode,
+    convert_scale_abs, equalize_hist, guided_filter,
+)
+from .model_loader import LoadedModel
+
+CANVAS = 256
+
+
+# ---------------------------------------------------------------------------
+# host side: decode + canvas paste (exact reference PIL recipe :186-200)
+# ---------------------------------------------------------------------------
+
+def _decode_canvas(path, canvas=CANVAS, fill=255):
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if w > h:
+        nw, nh = canvas, int(h * (canvas / w))
+    else:
+        nh, nw = canvas, int(w * (canvas / h))
+    resized = img.resize((nw, nh), Image.LANCZOS)
+    cv = Image.new("RGB", (canvas, canvas), (fill,) * 3)
+    cv.paste(resized, ((canvas - nw) // 2, (canvas - nh) // 2))
+    return np.asarray(cv, np.uint8), (w, h)
+
+
+def _restore_and_save(out_u8, orig_wh, out_path, canvas=CANVAS):
+    """Aspect crop + resize back if <=1MP + save (:412-438)."""
+    w, h = orig_wh
+    img = Image.fromarray(out_u8)
+    l, t, r, b = aspect_crop_bounds(w, h, canvas)
+    if (l, t, r, b) != (0, 0, canvas, canvas):
+        img = img.crop((l, t, r, b))
+    if w * h <= 1024 * 1024:
+        img = img.resize((w, h), Image.LANCZOS)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    img.save(out_path)
+
+
+# ---------------------------------------------------------------------------
+# device side: one fused program per mode
+# ---------------------------------------------------------------------------
+
+def _sky_mask(canvas_f):
+    """detect_sky (:126-150): V>150 & S<100; 'has sky' if fraction > 0.7."""
+    hsv = rgb_to_hsv(canvas_f)
+    mask = (hsv[..., 2] > 150) & (hsv[..., 1] < 100)
+    frac = jnp.mean(mask.astype(jnp.float32), axis=(1, 2))
+    return mask, frac > 0.7
+
+
+def _detail_mask(canvas_f):
+    """Canny(50,150) blurred by sigma=2, thresholded at 0.1 (:321-327)."""
+    gray = rgb_to_gray(canvas_f)
+    edges = canny(gray, 50.0, 150.0) > 0
+    return gaussian_filter(edges.astype(jnp.float32), 2.0) > 0.1
+
+
+def _smooth_transitions(img_f, mask, radius=3, iterations=2):
+    """smooth_transitions (:152-174): Gaussian-blend a dilate-erode band."""
+    m = mask.astype(jnp.float32)
+    boundary = (dilate(m, 5, iterations) - erode(m, 5, iterations)) > 0
+    blurred = gaussian_blur(img_f, radius * 2 + 1)
+    return jnp.where(boundary[..., None], img_f * 0.5 + blurred * 0.5, img_f)
+
+
+def _postprocess(canvas_u8f, styled_u8f, mode, strength, detail,
+                 enhance_colors, smooth):
+    """The mode branch of process_local_style (:304-406), batched."""
+    if mode == "simple":
+        out = canvas_u8f * (1 - strength) + styled_u8f * strength
+        return jnp.clip(out, 0, 255)
+
+    sky, has_sky = _sky_mask(canvas_u8f)
+    detail_mask = _detail_mask(canvas_u8f)
+    weight = jnp.full(canvas_u8f.shape[:-1], strength, jnp.float32)
+    sky_w = min(strength + 0.2, 1.0)
+    weight = jnp.where(has_sky[:, None, None] & sky, sky_w, weight)
+    detail_factor = 0.3 if mode == "enhanced" else 0.4
+    detail_w = max(strength - detail_factor * detail, 0.0)
+    weight = jnp.where(detail_mask, detail_w, weight)
+    out = canvas_u8f * (1 - weight[..., None]) + styled_u8f * weight[..., None]
+
+    if mode == "enhanced":
+        if enhance_colors:
+            out = convert_scale_abs(out, alpha=1.1, beta=5)
+        if smooth:
+            out = _smooth_transitions(out, detail_mask, radius=3)
+    else:  # advanced (:355-406)
+        yuv = rgb_to_yuv(jnp.clip(out, 0, 255))
+        yeq = equalize_hist(yuv[..., 0])
+        out = yuv_to_rgb(jnp.stack([yeq, yuv[..., 1], yuv[..., 2]], -1))
+        out = guided_filter(out, out, radius=4, eps=1e-4)
+        # reference "edge sharpening" is addWeighted(x,1.5,x,-0.5)==x: no-op
+    return jnp.clip(out, 0, 255)
+
+
+def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
+                  strength: float, detail: float, enhance_colors: bool,
+                  smooth: bool):
+    """Build the single jitted uint8->uint8 program for this configuration."""
+
+    def run(params, batch_u8):
+        canvas_f = batch_u8.astype(jnp.float32)
+        x = to_model_range(batch_u8)
+        y = model_forward(params, x)
+        styled_f = from_model_range(y) * 255.0
+        if mode == "cyclegan":
+            out = styled_f
+        else:
+            out = _postprocess(canvas_f, styled_f, local_style_mode,
+                               strength, detail, enhance_colors, smooth)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    from ..models import plain_generator_apply, enhanced_generator_apply
+
+    model_forward = (plain_generator_apply if model.kind == "plain"
+                     else enhanced_generator_apply)
+    # partial OUTSIDE jit: params must stay a runtime argument — closing
+    # them in would bake every weight into the program as constants and
+    # blow up compile time/memory.
+    return partial(jax.jit(run), model.params)
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def batch_process(model: LoadedModel, input_dir, output_dir, *,
+                  mode: str = "cyclegan", local_style_mode: str = "enhanced",
+                  direction: str = "photo2monet", strength: float = 0.8,
+                  detail: float = 0.7, enhance_colors: bool = True,
+                  smooth: bool = True, batch_size: int = 16,
+                  decode_workers: int = 8) -> dict:
+    """Process every image in ``input_dir``; returns a stats dict.
+
+    Output layout matches the reference: ``{out}/cyclegan_{direction}/name``
+    or ``{out}/local_style_{mode}_{direction}/name`` (:241, :441).
+    """
+    files = list_images(input_dir)
+    if not files:
+        print(f"error: no images found in {input_dir}")
+        return {"processed": 0, "elapsed": 0.0}
+
+    sub = (f"cyclegan_{direction}" if mode == "cyclegan"
+           else f"local_style_{local_style_mode}_{direction}")
+    out_dir = os.path.join(output_dir, sub)
+    os.makedirs(out_dir, exist_ok=True)
+
+    run_fn = make_batch_fn(model, mode, local_style_mode, strength, detail,
+                           enhance_colors, smooth)
+
+    decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
+    save_pool = ThreadPoolExecutor(max_workers=decode_workers)
+
+    def batches():
+        for i in range(0, len(files), batch_size):
+            chunk = files[i:i + batch_size]
+            decoded = list(decode_pool.map(_decode_canvas, chunk))
+            arr = np.stack([d[0] for d in decoded])
+            # pad the tail batch to the compiled batch size
+            if arr.shape[0] < batch_size:
+                pad = batch_size - arr.shape[0]
+                arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
+            yield chunk, [d[1] for d in decoded], jax.device_put(arr)
+
+    t0 = time.perf_counter()
+    pending = []  # (files, sizes, device_out) — double buffer
+    n_done = 0
+    saves = []
+
+    def drain(entry):
+        nonlocal n_done
+        chunk, sizes, dev_out = entry
+        host = np.asarray(dev_out)  # D2H
+        for j, (f, wh) in enumerate(zip(chunk, sizes)):
+            out_path = os.path.join(out_dir, os.path.basename(f))
+            saves.append(save_pool.submit(_restore_and_save, host[j], wh,
+                                          out_path))
+            n_done += 1
+
+    for chunk, sizes, dev_batch in batches():
+        dev_out = run_fn(dev_batch)  # async dispatch
+        pending.append((chunk, sizes, dev_out))
+        if len(pending) > 1:  # keep one batch in flight
+            drain(pending.pop(0))
+    while pending:
+        drain(pending.pop(0))
+    for s in saves:
+        s.result()
+    elapsed = time.perf_counter() - t0
+    print(f"done: {n_done}/{len(files)} images in {elapsed:.2f}s "
+          f"({n_done / max(elapsed, 1e-9):.2f} img/s, "
+          f"{elapsed / max(n_done, 1):.3f}s per image)")
+    return {"processed": n_done, "elapsed": elapsed,
+            "imgs_per_sec": n_done / max(elapsed, 1e-9), "out_dir": out_dir}

@@ -1,0 +1,203 @@
+"""CycleGAN trainer — the reference's EnhancedCycleGAN as one jitted step.
+
+Faithful to enhanced_train.py:13-131:
+- G_AB/G_BA = EnhancedGenerator(16, 1); D_A/D_B = EnhancedDiscriminator(16)
+- Adam(G) lr=5e-5, Adam(D) lr=2e-4, betas (0.5, 0.999)
+- D phase first (LSGAN real->1 / detached fake->0, each pair averaged), then
+  the G phase runs against the *updated* discriminators (torch steps
+  d_optimizer before building the G loss, enhanced_train.py:85-99)
+- G loss = GAN + 10*cycle + 2*identity + 0.5*structure
+  (structure = L1 between D structure-head maps of real vs fake)
+
+TPU-first deviations (documented, math-intent preserving):
+- mixed precision is a dtype policy (bf16 compute / fp32 params+opt) instead
+  of torch.cuda.amp GradScaler — bf16 needs no loss scaling;
+- spectral-norm u/v run one power iteration per step (the reference's
+  in-place torch buffers iterate on every D forward — several per step —
+  an incidental artifact of module reuse, not a design choice);
+- the whole step is one XLA program: with the batch sharded over the mesh's
+  ``data`` axis and params replicated, jit inserts the gradient all-reduce
+  over ICI automatically. The reference trains batch=1 single-GPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.enhanced_generator import (
+    enhanced_generator_apply, enhanced_generator_init,
+)
+from ..models.discriminator import discriminator_apply, discriminator_init
+from .losses import l1_loss, lsgan_loss
+
+LAMBDA_CYCLE = 10.0     # enhanced_train.py:55
+LAMBDA_IDENTITY = 2.0   # enhanced_train.py:56
+LAMBDA_STRUCTURE = 0.5  # enhanced_train.py:57
+G_LR = 5e-5             # enhanced_train.py:38
+D_LR = 2e-4             # enhanced_train.py:42
+ADAM_BETAS = (0.5, 0.999)
+
+
+class CycleGANState(NamedTuple):
+    g_params: Any        # {"G_AB": ..., "G_BA": ...}
+    d_params: Any        # {"D_A": ..., "D_B": ...}
+    sn_state: Any        # {"D_A": ..., "D_B": ...}
+    g_opt: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+def make_optimizers(g_lr: float = G_LR, d_lr: float = D_LR):
+    g_tx = optax.adam(g_lr, b1=ADAM_BETAS[0], b2=ADAM_BETAS[1])
+    d_tx = optax.adam(d_lr, b1=ADAM_BETAS[0], b2=ADAM_BETAS[1])
+    return g_tx, d_tx
+
+
+def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1,
+                        pretrained_params=None, g_lr: float = G_LR,
+                        d_lr: float = D_LR) -> CycleGANState:
+    """Build fresh G/D params (optionally warm-starting both generators from
+    masked-pretrain weights non-strictly, enhanced_train.py:28-33)."""
+    kab, kba, kda, kdb = jax.random.split(key, 4)
+    g_ab = enhanced_generator_init(kab, channels, num_transformer_blocks)
+    g_ba = enhanced_generator_init(kba, channels, num_transformer_blocks)
+    if pretrained_params:
+        # non-strict load: only keys that exist with matching shapes
+        for tgt in (g_ab, g_ba):
+            for k, v in pretrained_params.items():
+                if k in tgt and tgt[k].shape == v.shape:
+                    tgt[k] = v
+    d_a_params, d_a_sn = discriminator_init(kda, channels)
+    d_b_params, d_b_sn = discriminator_init(kdb, channels)
+    g_params = {"G_AB": g_ab, "G_BA": g_ba}
+    d_params = {"D_A": d_a_params, "D_B": d_b_params}
+    sn_state = {"D_A": d_a_sn, "D_B": d_b_sn}
+    g_tx, d_tx = make_optimizers(g_lr, d_lr)
+    return CycleGANState(
+        g_params=g_params, d_params=d_params, sn_state=sn_state,
+        g_opt=g_tx.init(g_params), d_opt=d_tx.init(d_params),
+        step=jnp.zeros((), jnp.int32))
+
+
+def cyclegan_train_step(state: CycleGANState, real_A, real_B,
+                        g_tx=None, d_tx=None, compute_dtype=jnp.float32):
+    """One full CycleGAN step. real_A/real_B: (B, H, W, 3) in [-1, 1].
+
+    Returns (new_state, losses_dict) — losses match the reference's returned
+    dict keys (enhanced_train.py:125-131).
+    """
+    if g_tx is None or d_tx is None:
+        g_tx, d_tx = make_optimizers()
+    xa = real_A.astype(compute_dtype)
+    xb = real_B.astype(compute_dtype)
+
+    # fakes for the D phase (values only — stop_gradient = .detach())
+    fake_B0 = enhanced_generator_apply(state.g_params["G_AB"], xa)
+    fake_A0 = enhanced_generator_apply(state.g_params["G_BA"], xb)
+    fake_B0 = jax.lax.stop_gradient(fake_B0)
+    fake_A0 = jax.lax.stop_gradient(fake_A0)
+
+    # ---------------- discriminator phase ----------------
+    def d_loss_fn(d_params):
+        ra, _, sn_a = discriminator_apply(d_params["D_A"],
+                                          state.sn_state["D_A"], xa)
+        rb, _, sn_b = discriminator_apply(d_params["D_B"],
+                                          state.sn_state["D_B"], xb)
+        fa, _, _ = discriminator_apply(d_params["D_A"], sn_a, fake_A0,
+                                       update_sn=False)
+        fb, _, _ = discriminator_apply(d_params["D_B"], sn_b, fake_B0,
+                                       update_sn=False)
+        d_real = (lsgan_loss(ra, 1.0) + lsgan_loss(rb, 1.0)) * 0.5
+        d_fake = (lsgan_loss(fa, 0.0) + lsgan_loss(fb, 0.0)) * 0.5
+        loss = d_real + d_fake
+        return loss, {"D_A": sn_a, "D_B": sn_b}
+
+    (d_loss, new_sn), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(state.d_params)
+    d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+    new_d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # ---------------- generator phase (vs updated D) ----------------
+    def g_loss_fn(g_params):
+        fake_B = enhanced_generator_apply(g_params["G_AB"], xa)
+        fake_A = enhanced_generator_apply(g_params["G_BA"], xb)
+
+        idt_A = enhanced_generator_apply(g_params["G_BA"], xa)
+        idt_B = enhanced_generator_apply(g_params["G_AB"], xb)
+        identity = (l1_loss(idt_A, xa) + l1_loss(idt_B, xb)) * LAMBDA_IDENTITY
+
+        fa, fa_map, _ = discriminator_apply(new_d_params["D_A"], new_sn["D_A"],
+                                            fake_A, update_sn=False)
+        fb, fb_map, _ = discriminator_apply(new_d_params["D_B"], new_sn["D_B"],
+                                            fake_B, update_sn=False)
+        gan = lsgan_loss(fa, 1.0) + lsgan_loss(fb, 1.0)
+
+        recon_A = enhanced_generator_apply(g_params["G_BA"], fake_B)
+        recon_B = enhanced_generator_apply(g_params["G_AB"], fake_A)
+        cycle = (l1_loss(recon_A, xa) + l1_loss(recon_B, xb)) * LAMBDA_CYCLE
+
+        _, ra_map, _ = discriminator_apply(new_d_params["D_A"], new_sn["D_A"],
+                                           xa, update_sn=False)
+        _, rb_map, _ = discriminator_apply(new_d_params["D_B"], new_sn["D_B"],
+                                           xb, update_sn=False)
+        structure = (l1_loss(ra_map, fa_map)
+                     + l1_loss(rb_map, fb_map)) * LAMBDA_STRUCTURE
+
+        total = gan + cycle + identity + structure
+        return total, (gan, cycle, identity, structure)
+
+    (g_total, (gan, cycle, identity, structure)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(state.g_params)
+    g_updates, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+    new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+    new_state = CycleGANState(
+        g_params=new_g_params, d_params=new_d_params, sn_state=new_sn,
+        g_opt=new_g_opt, d_opt=new_d_opt, step=state.step + 1)
+    losses = {
+        "d_loss": d_loss, "g_loss": gan, "cycle_loss": cycle,
+        "identity_loss": identity, "structure_loss": structure,
+    }
+    return new_state, losses
+
+
+def save_models(state: CycleGANState, save_dir, epoch: int):
+    """Write the reference's three .pth files (enhanced_train.py:133-152):
+    G_AB_epoch_N / G_BA_epoch_N / discriminators_epoch_N — loadable by the
+    PyTorch reference."""
+    from pathlib import Path
+
+    from ..weights import params_to_torch_sd, save_pth
+
+    save_dir = Path(save_dir)
+    save_pth({"epoch": epoch,
+              "G_AB_state_dict": params_to_torch_sd(
+                  state.g_params["G_AB"], "enhanced")},
+             save_dir / f"G_AB_epoch_{epoch}.pth")
+    save_pth({"epoch": epoch,
+              "G_BA_state_dict": params_to_torch_sd(
+                  state.g_params["G_BA"], "enhanced")},
+             save_dir / f"G_BA_epoch_{epoch}.pth")
+
+    def d_sd(name):
+        sd = params_to_torch_sd(state.d_params[name], "discriminator")
+        for conv, st in state.sn_state[name].items():
+            sd[f"{conv}.weight_u"] = jnp.asarray(st["u"])
+            # our v is in (kh, kw, I) flat order; export torch's (I, kh, kw)
+            import numpy as np
+            w = np.asarray(state.d_params[name][f"{conv}.weight_orig"])
+            kh, kw, i, _ = w.shape
+            if st["v"] is not None:
+                v = np.asarray(st["v"]).reshape(kh, kw, i)
+                sd[f"{conv}.weight_v"] = np.ascontiguousarray(
+                    v.transpose(2, 0, 1).reshape(-1))
+        return sd
+
+    save_pth({"epoch": epoch,
+              "D_A_state_dict": d_sd("D_A"),
+              "D_B_state_dict": d_sd("D_B")},
+             save_dir / f"discriminators_epoch_{epoch}.pth")

