@@ -195,16 +195,49 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
     save_pool = ThreadPoolExecutor(max_workers=decode_workers)
 
+    from ..native import available as native_available, decode_canvas_batch
+
+    use_native = native_available()
+
+    n_failed = 0
+
+    def _decode_safe(path):
+        try:
+            return _decode_canvas(path)
+        except Exception as e:  # skip unreadable files like the reference
+            print(f"error processing image {path}: {e}")
+            return None
+
     def batches():
+        nonlocal n_failed
         for i in range(0, len(files), batch_size):
             chunk = files[i:i + batch_size]
-            decoded = list(decode_pool.map(_decode_canvas, chunk))
-            arr = np.stack([d[0] for d in decoded])
+            if use_native:
+                arr, sizes, ok = decode_canvas_batch(
+                    chunk, CANVAS, 255, num_threads=decode_workers)
+                if not ok.all():
+                    n_failed += int((~ok).sum())
+                    keep = np.where(ok)[0]
+                    if keep.size == 0:
+                        continue
+                    chunk = [chunk[j] for j in keep]
+                    sizes = [sizes[j] for j in keep]
+                    arr = arr[keep]
+            else:
+                decoded = list(decode_pool.map(_decode_safe, chunk))
+                kept = [(f, d) for f, d in zip(chunk, decoded)
+                        if d is not None]
+                n_failed += len(chunk) - len(kept)
+                if not kept:
+                    continue
+                chunk = [f for f, _ in kept]
+                arr = np.stack([d[0] for _, d in kept])
+                sizes = [d[1] for _, d in kept]
             # pad the tail batch to the compiled batch size
             if arr.shape[0] < batch_size:
                 pad = batch_size - arr.shape[0]
                 arr = np.concatenate([arr, np.repeat(arr[-1:], pad, 0)])
-            yield chunk, [d[1] for d in decoded], jax.device_put(arr)
+            yield chunk, sizes, jax.device_put(arr)
 
     t0 = time.perf_counter()
     pending = []  # (files, sizes, device_out) — double buffer

@@ -1,0 +1,71 @@
+"""Native C++ runtime tests (decode/resize/canvas batch, felzenszwalb)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multi_style_transfer_gan_tpu.native import (
+    available, decode_canvas_batch, felzenszwalb_native,
+)
+
+pytestmark = pytest.mark.skipif(not available(),
+                                reason="native library unavailable")
+
+
+@pytest.fixture
+def structured_img(rng):
+    img = np.zeros((120, 160, 3), np.uint8)
+    img[:60, :80] = [200, 40, 40]
+    img[:60, 80:] = [40, 200, 40]
+    img[60:, :] = [40, 40, 200]
+    img = np.clip(img.astype(np.int32)
+                  + rng.integers(-8, 8, img.shape), 0, 255).astype(np.uint8)
+    return img
+
+
+def test_decode_canvas_batch_matches_pil(tmp_path, structured_img):
+    paths = []
+    p = tmp_path / "a.png"
+    Image.fromarray(structured_img).save(p)
+    paths.append(str(p))
+    p2 = tmp_path / "b.jpg"
+    Image.fromarray(structured_img[:, :100]).save(p2, quality=95)
+    paths.append(str(p2))
+
+    batch, sizes, ok = decode_canvas_batch(paths, 256, 255)
+    assert ok.all()
+    assert batch.shape == (2, 256, 256, 3)
+    assert sizes == [(160, 120), (100, 120)]
+
+    from multi_style_transfer_gan_tpu.pipelines.batch import _decode_canvas
+
+    ref, _ = _decode_canvas(paths[0], 256, 255)
+    diff = np.abs(batch[0].astype(int) - ref.astype(int))
+    # PIL uses int16 fixed-point resampling; ours is double — tiny deltas
+    assert diff.mean() < 0.5 and np.quantile(diff, 0.999) <= 4, diff.mean()
+
+
+def test_decode_fallback_for_bmp(tmp_path, structured_img):
+    p = tmp_path / "c.bmp"
+    Image.fromarray(structured_img).save(p)
+    batch, sizes, ok = decode_canvas_batch([str(p)], 128, 0)
+    assert ok.all()  # fell back to PIL
+    assert sizes == [(160, 120)]
+
+
+def test_felzenszwalb_native_matches_python(structured_img):
+    from multi_style_transfer_gan_tpu.ops.segmentation import (
+        _gaussian_smooth, felzenszwalb,
+    )
+
+    # python reference path (force fallback by calling internals)
+    img = structured_img.astype(np.float64) / 255.0
+    sm = _gaussian_smooth(img, 0.5).astype(np.float32)
+    lab_c = felzenszwalb_native(sm, 100.0, 50)
+    assert lab_c is not None
+    # wrapper dispatches to native; partitions must have >= 3 segments
+    lab = felzenszwalb(structured_img)
+    assert lab.max() + 1 >= 3
+    # the three quadrant colors land in different segments
+    assert lab[10, 10] != lab[10, 150]
+    assert lab[10, 10] != lab[100, 80]
