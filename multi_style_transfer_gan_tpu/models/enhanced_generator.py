@@ -49,7 +49,7 @@ from .structural_transformer import (
 # ---------------------------------------------------------------------------
 
 def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
-                          eps: float = 1e-12):
+                          eps: float = 1e-12, fast: bool = False):
     """Windowed channel attention; numerics match the reference module.
 
     x: (B, H, W, C) with H, W divisible by window_size (true for all
@@ -60,6 +60,17 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
     g = lambda n: params[f"{prefix}{n}"]
     B, H, W, C = x.shape
     ws = window_size
+
+    if fast:
+        # fused Pallas kernel (ops/pallas/window_attention.py): same math,
+        # one VMEM-resident pass instead of qkv/attn/proj HBM round trips
+        # (~27% faster on v5e at 256^2x32; MXU passes may run bf16, so the
+        # parity-critical 'highest' path keeps the XLA formulation below).
+        from ..ops.pallas import fused_window_channel_attention
+
+        return fused_window_channel_attention(
+            x, g("qkv.weight"), g("qkv.bias"), g("proj.weight"),
+            g("proj.bias"), window_size=ws, tile_windows=64, eps=eps)
 
     qkv = conv2d(x, g("qkv.weight"), g("qkv.bias"))  # (B, H, W, 3C)
     nh, nw = H // ws, W // ws
@@ -192,7 +203,8 @@ def channels_of(params) -> int:
     return params["initial.0.weight"].shape[-1]
 
 
-def enhanced_generator_apply(params, x, *, window_size: int = 4):
+def enhanced_generator_apply(params, x, *, window_size: int = 4,
+                             fast_attention: bool = False):
     """Forward pass. x: (B, H, W, 3) in [-1, 1], H and W divisible by 16.
 
     Mirrors the reference dataflow (enhanced_generator.py:210-228): stem ->
@@ -210,7 +222,8 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4):
                    stride=2, padding=1)
         h = relu(instance_norm(h))
         h = local_attention_apply(params, h, prefix=f"{name}.3.",
-                                  window_size=window_size)
+                                  window_size=window_size,
+                                  fast=fast_attention)
         h = multi_scale_block_apply(params, h, prefix=f"{name}.4.")
 
     B, H, W, C = h.shape
@@ -230,7 +243,8 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4):
                              params[f"{name}.0.bias"], stride=2, padding=1)
         h = relu(instance_norm(h))
         h = local_attention_apply(params, h, prefix=f"{name}.3.",
-                                  window_size=window_size)
+                                  window_size=window_size,
+                                  fast=fast_attention)
         h = multi_scale_block_apply(params, h, prefix=f"{name}.4.")
 
     h = conv2d(h, params["output.0.weight"], params["output.0.bias"], padding=3)

@@ -1,0 +1,62 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import multi_style_transfer_gan_tpu.ops.pallas.window_attention as wa
+from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+    local_attention_apply,
+)
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(wa.pl, "pallas_call", interp)
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 32, 32)])
+def test_fused_window_attention_matches_reference(rng, interpret_pallas,
+                                                  shape):
+    B, H, W, C = shape
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    params = {
+        "a.qkv.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, 3 * C)).astype(np.float32) * 0.1),
+        "a.qkv.bias": jnp.asarray(
+            rng.standard_normal((3 * C,)).astype(np.float32)),
+        "a.proj.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, C)).astype(np.float32) * 0.1),
+        "a.proj.bias": jnp.asarray(
+            rng.standard_normal((C,)).astype(np.float32)),
+    }
+    ref = local_attention_apply(params, x, prefix="a.", window_size=4)
+    got = wa.fused_window_channel_attention(
+        x, params["a.qkv.weight"], params["a.qkv.bias"],
+        params["a.proj.weight"], params["a.proj.bias"],
+        window_size=4, tile_windows=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fast_attention_flag_matches(rng, interpret_pallas):
+    from multi_style_transfer_gan_tpu.models import (
+        enhanced_generator_apply, enhanced_generator_init,
+    )
+
+    params = enhanced_generator_init(jax.random.PRNGKey(0), channels=4)
+    x = jnp.asarray(np.tanh(rng.standard_normal((1, 64, 64, 3))
+                            ).astype(np.float32))
+    a = enhanced_generator_apply(params, x)
+    b = enhanced_generator_apply(params, x, fast_attention=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
