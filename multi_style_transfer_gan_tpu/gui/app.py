@@ -266,18 +266,25 @@ def main():
             if c["mode"] == "enhanced_segmentation":
                 enhanced_local_style_transfer(model, p, out)
                 return out
-            from ..pipelines.compare import _decode_canvas  # noqa
             from ..pipelines.batch import _decode_canvas, _postprocess
             import jax.numpy as jnp
             from ..ops import to_model_range, from_model_range, \
                 aspect_crop_bounds
+            from ..ops.gui_effects import gui_local_style_blend
             from PIL import Image
             canvas, (w, h) = _decode_canvas(p, 256, 255)
             x = to_model_range(jnp.asarray(canvas))[None]
             styled = from_model_range(model.apply(x)) * 255.0
-            res = _postprocess(jnp.asarray(canvas, jnp.float32)[None], styled,
-                               c["mode"], float(c["strength"]),
-                               float(c["detail"]), True, True)[0]
+            if c["mode"] == "enhanced":
+                # GUI-tab blend recipe (blue-sky mask + Canny edge weights,
+                # gan_login_gui.py:1334-1408)
+                res = gui_local_style_blend(
+                    jnp.asarray(canvas, jnp.float32)[None], styled,
+                    float(c["strength"]), float(c["detail"]))[0]
+            else:
+                res = _postprocess(jnp.asarray(canvas, jnp.float32)[None],
+                                   styled, c["mode"], float(c["strength"]),
+                                   float(c["detail"]), True, True)[0]
             img = Image.fromarray(
                 np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8))
             l, t, r, b = aspect_crop_bounds(w, h, 256)

@@ -70,7 +70,7 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
 
         return fused_window_channel_attention(
             x, g("qkv.weight"), g("qkv.bias"), g("proj.weight"),
-            g("proj.bias"), window_size=ws, tile_windows=64, eps=eps)
+            g("proj.bias"), window_size=ws, eps=eps)
 
     qkv = conv2d(x, g("qkv.weight"), g("qkv.bias"))  # (B, H, W, 3C)
     nh, nw = H // ws, W // ws

@@ -37,7 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
             *, T: int, P: int, C: int, eps: float):
-    x = x_ref[:]  # (T*P, C)
+    # I/O is (T*P, C) row-major over windows. Notes on Mosaic constraints:
+    # - splitting the LANE dim in-kernel ((T, P*C) -> (T*P, C)) is
+    #   unsupported ("infer-vector-layout: unsupported shape"); the
+    #   window-major relayout therefore happens in XLA, at the cost of lane
+    #   padding of the (N, C) HBM buffers for C < 128;
+    # - batched dot_general over T windows unrolls per window, which caps T
+    #   at ~64 before the compiler blows up and leaves the grid dominated by
+    #   per-step overhead. The ws^2=16-deep contractions are instead
+    #   unrolled over the window POSITION axis as P broadcasted VPU
+    #   multiply-accumulates on (T, C, C) tiles — T can then be thousands.
+    x = x_ref[:]
     qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = qkv + bqkv_ref[:]
     qkv = qkv.reshape(T, P, 3 * C)
@@ -54,7 +64,10 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
 
     qn = _norm(q)
     kn = _norm(k)
-    # (T, C, C) batched cross-covariance
+    # (T, C, C) batched cross-covariance. A P-unrolled VPU outer-product
+    # formulation (to allow much larger T) was tried and crashes the Mosaic
+    # compiler at useful tile sizes; the batched dots below compile
+    # reliably with T<=64.
     attn = jax.lax.dot_general(
         qn, kn, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -69,7 +82,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
 
 def fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
                                    *, window_size: int = 4,
-                                   tile_windows: int = 256,
+                                   tile_windows: int | None = None,
                                    eps: float = 1e-12):
     """Drop-in replacement for local_attention_apply's math.
 
@@ -85,10 +98,12 @@ def fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
     wqkv2 = wqkv.reshape(wqkv.shape[-2], wqkv.shape[-1])
     wproj2 = wproj.reshape(wproj.shape[-2], wproj.shape[-1])
 
-    # window-major relayout (fused by XLA with neighbors)
+    # window-major relayout (see kernel docstring for the layout tradeoff)
     t = x.reshape(B, nh, ws, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
     t = t.reshape(n_windows * P, C)
 
+    if tile_windows is None:
+        tile_windows = 64  # batched in-kernel dots cap out around here
     T = min(tile_windows, n_windows)
     while n_windows % T:
         T //= 2
