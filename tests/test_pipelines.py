@@ -107,6 +107,32 @@ def test_folder_comparison_and_study(image_dir, tmp_path):
     assert total == 9  # 3 metrics x 3 images
 
 
+def test_improved_image_compare_cli(image_dir, tmp_path, capsys):
+    """Console 3-folder verdict CLI (improved_image_compare.py:33-191)."""
+    import cv2
+
+    from multi_style_transfer_gan_tpu.cli.improved_image_compare import main
+
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(), b_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for p in os.listdir(image_dir):
+        img = np.asarray(Image.open(image_dir / p), np.float32)
+        Image.fromarray(cv2.GaussianBlur(img, (5, 5), 1.5).astype(np.uint8)
+                        ).save(a_dir / p)  # blur destroys the random texture
+        noisy = np.clip(img + rng.normal(0, 20, img.shape), 0,
+                        255).astype(np.uint8)
+        Image.fromarray(noisy).save(b_dir / p)  # mild noise stays closer
+
+    main(["--original_dir", str(image_dir), "--folder_a", str(a_dir),
+          "--folder_b", str(b_dir), "--name_a", "blur", "--name_b", "noise"])
+    out = capsys.readouterr().out
+    assert "Summary over 3 images" in out
+    assert "win rate" in out
+    # the base images are random texture: mild noise beats blur on every metric
+    assert "overall: noise wins 9/9" in out
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from multi_style_transfer_gan_tpu.train import (
         pretrain_init_state, pretrain_train_step,
