@@ -82,6 +82,10 @@ def main():
     best = float("inf")
     for _ in range(3):
         outs = [pipeline(params, b) for b in batches]
+        # Drain the warmup dispatches BEFORE starting the clock — async
+        # dispatch means un-synced warmup work would otherwise execute
+        # inside the timed region and halve the measured throughput.
+        _ = np.asarray(outs[-1][:, -1, -1, :])
         t0 = time.perf_counter()
         outs = [pipeline(params, b) for b in batches]
         _ = np.asarray(outs[-1][:, -1, -1, :])
