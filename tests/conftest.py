@@ -25,6 +25,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the expensive jits in this suite (the full
+# CycleGAN train step over the virtual 8-device mesh, the Inception FID
+# graph) dominate wall time; caching them makes repeat runs fast.
+from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

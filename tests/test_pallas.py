@@ -60,3 +60,38 @@ def test_fast_attention_flag_matches(rng, interpret_pallas):
     b = enhanced_generator_apply(params, x, fast_attention=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.fixture
+def interpret_packed_pallas(monkeypatch):
+    import multi_style_transfer_gan_tpu.ops.pallas.packed_attention as pa
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pa.pl, "pallas_call", interp)
+
+
+@pytest.mark.parametrize("C", [8, 16])
+def test_packed_attention_kernel_matches_reference(rng, interpret_packed_pallas, C):
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        local_attention_init,
+    )
+    from multi_style_transfer_gan_tpu.ops.packed import space_to_depth, depth_to_space
+    from multi_style_transfer_gan_tpu.ops.pallas.packed_attention import (
+        pack_attention_weights, packed_window_attention_pallas,
+    )
+
+    params = local_attention_init(jax.random.PRNGKey(1), C)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, C)), jnp.float32)
+    ref = local_attention_apply(params, x, prefix="")
+
+    blk = pack_attention_weights(params["qkv.weight"], params["qkv.bias"],
+                                 params["proj.weight"], params["proj.bias"])
+    got = depth_to_space(packed_window_attention_pallas(
+        space_to_depth(x, 4), *blk, C=C), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
