@@ -72,16 +72,9 @@ def _pack_params_impl(params):
         convt(f"{name}.0", stride=2, padding=1)
     conv("output.0", stride=1, padding=3)
 
-    from ..ops.pallas.packed_attention import pack_attention_weights
-
     for name in ("down1", "down2", "up1", "up2"):
         matrix(f"{name}.3.qkv")
         matrix(f"{name}.3.proj")
-        blk = pack_attention_weights(
-            params[f"{name}.3.qkv.weight"], params[f"{name}.3.qkv.bias"],
-            params[f"{name}.3.proj.weight"], params[f"{name}.3.proj.bias"])
-        (p[f"{name}.3.qkv_blk.weight"], p[f"{name}.3.qkv_blk.bias"],
-         p[f"{name}.3.proj_blk.weight"], p[f"{name}.3.proj_blk.bias"]) = blk
         matrix(f"{name}.4.branch1.0")  # 1x1 -> per-channel linear
         matrix(f"{name}.4.fusion.0")
         for bname, k, pad, dil in _MSB_BRANCHES[1:]:
@@ -130,9 +123,8 @@ def _attention(p, x, prefix, fast=False):
         )
 
         return packed_window_attention_pallas(
-            x, p[f"{prefix}qkv_blk.weight"], p[f"{prefix}qkv_blk.bias"],
-            p[f"{prefix}proj_blk.weight"], p[f"{prefix}proj_blk.bias"],
-            C=x.shape[-1] // (F * F))
+            x, p[f"{prefix}qkv.weight"], p[f"{prefix}qkv.bias"],
+            p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"])
     return packed_window_channel_attention(
         x, p[f"{prefix}qkv.weight"], p[f"{prefix}qkv.bias"],
         p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"], f=F)

@@ -82,16 +82,15 @@ def test_packed_attention_kernel_matches_reference(rng, interpret_packed_pallas,
     )
     from multi_style_transfer_gan_tpu.ops.packed import space_to_depth, depth_to_space
     from multi_style_transfer_gan_tpu.ops.pallas.packed_attention import (
-        pack_attention_weights, packed_window_attention_pallas,
+        packed_window_attention_pallas,
     )
 
     params = local_attention_init(jax.random.PRNGKey(1), C)
     x = jnp.asarray(rng.standard_normal((2, 16, 16, C)), jnp.float32)
     ref = local_attention_apply(params, x, prefix="")
 
-    blk = pack_attention_weights(params["qkv.weight"], params["qkv.bias"],
-                                 params["proj.weight"], params["proj.bias"])
     got = depth_to_space(packed_window_attention_pallas(
-        space_to_depth(x, 4), *blk, C=C), 4)
+        space_to_depth(x, 4), params["qkv.weight"], params["qkv.bias"],
+        params["proj.weight"], params["proj.bias"]), 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
