@@ -30,6 +30,12 @@ def main(argv=None):
     # TPU additions (the reference runs batch=1 serially)
     p.add_argument("--models_dir", type=str, default="models")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 generator compute (TPU fast path)")
+    p.add_argument("--fast_attention", action="store_true",
+                   help="fused Pallas window-attention kernel")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all devices (jax.sharding mesh)")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -54,11 +60,24 @@ def main(argv=None):
         model = load_generator(path)
     print(f"loaded {model.kind} generator (channels={model.channels})")
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"data-parallel over {len(jax.devices())} devices")
+
+    import jax.numpy as jnp
+
     batch_process(model, args.input_dir, args.output_dir, mode=args.mode,
                   local_style_mode=args.local_style_mode,
                   direction=args.direction, strength=args.strength,
                   detail=args.detail, enhance_colors=args.enhance_colors,
-                  smooth=args.smooth, batch_size=args.batch_size)
+                  smooth=args.smooth, batch_size=args.batch_size,
+                  compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                  fast_attention=args.fast_attention, mesh=mesh)
     return 0
 
 

@@ -152,3 +152,20 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored.params["encoder.0.weight"]),
         np.asarray(state.params["encoder.0.weight"]))
+
+
+def test_batch_data_parallel_mesh(small_ckpts, image_dir, tmp_path):
+    """Sharded batch inference over the virtual 8-device mesh: same outputs,
+    batches split over the 'data' axis (the v5e-8 path)."""
+    from multi_style_transfer_gan_tpu.parallel import make_mesh
+
+    model = load_generator(small_ckpts / "cyclegan_epoch_200.pth",
+                           prefer="G_BA_state_dict")
+    mesh = make_mesh()
+    assert mesh.shape["data"] == jax.device_count()
+    stats = batch_process(model, image_dir, tmp_path, mode="cyclegan",
+                          direction="photo2monet", batch_size=8, mesh=mesh,
+                          compute_dtype=jnp.bfloat16)
+    assert stats["processed"] == 3
+    out = tmp_path / "cyclegan_photo2monet"
+    assert len(os.listdir(out)) == 3
