@@ -34,6 +34,8 @@ Parameter keys mirror the PyTorch ``state_dict()``:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -204,27 +206,53 @@ def channels_of(params) -> int:
 
 
 def enhanced_generator_apply(params, x, *, window_size: int = 4,
-                             fast_attention: bool = False):
+                             fast_attention: bool = False,
+                             remat: bool = False):
     """Forward pass. x: (B, H, W, 3) in [-1, 1], H and W divisible by 16.
 
     Mirrors the reference dataflow (enhanced_generator.py:210-228): stem ->
     two downsample+attention+multiscale stages -> style vector (GAP+Linear) ->
     token flatten -> structural transformer blocks (conditioned on style and
     the raw input) -> two upsample stages -> 7x7 conv + tanh.
+
+    remat=True rematerializes each stage under grad — the TPU equivalent of
+    the reference's ``gradient_checkpointing_enable`` (enhanced_generator.py:
+    163-209, enabled for CycleGAN training at enhanced_train.py:24-25);
+    activations are recomputed in the backward pass instead of stored,
+    trading FLOPs for HBM exactly like torch.utils.checkpoint.
     """
+    ckpt = jax.checkpoint if remat else (lambda f: f)
+
+    def down_stage(name):
+        def f(params, h):
+            h = conv2d(h, params[f"{name}.0.weight"],
+                       params[f"{name}.0.bias"], stride=2, padding=1)
+            h = relu(instance_norm(h))
+            h = local_attention_apply(params, h, prefix=f"{name}.3.",
+                                      window_size=window_size,
+                                      fast=fast_attention)
+            return multi_scale_block_apply(params, h, prefix=f"{name}.4.")
+        return ckpt(f)
+
+    def up_stage(name):
+        def f(params, h):
+            h = conv_transpose2d(h, params[f"{name}.0.weight"],
+                                 params[f"{name}.0.bias"], stride=2,
+                                 padding=1)
+            h = relu(instance_norm(h))
+            h = local_attention_apply(params, h, prefix=f"{name}.3.",
+                                      window_size=window_size,
+                                      fast=fast_attention)
+            return multi_scale_block_apply(params, h, prefix=f"{name}.4.")
+        return ckpt(f)
+
     orig = x
     h = relu(instance_norm(
         conv2d(x, params["initial.0.weight"], params["initial.0.bias"],
                padding=3)))
 
     for name in ("down1", "down2"):
-        h = conv2d(h, params[f"{name}.0.weight"], params[f"{name}.0.bias"],
-                   stride=2, padding=1)
-        h = relu(instance_norm(h))
-        h = local_attention_apply(params, h, prefix=f"{name}.3.",
-                                  window_size=window_size,
-                                  fast=fast_attention)
-        h = multi_scale_block_apply(params, h, prefix=f"{name}.4.")
+        h = down_stage(name)(params, h)
 
     B, H, W, C = h.shape
     style = jnp.mean(h, axis=(1, 2))  # GAP
@@ -233,19 +261,14 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
 
     tokens = h.reshape(B, H * W, C)
     for i in range(num_transformer_blocks_of(params)):
-        tokens = structural_transformer_apply(
-            params, tokens, style, orig, (H, W),
-            prefix=f"transformer_blocks.{i}.")
+        block = ckpt(partial(structural_transformer_apply,
+                             grid_hw=(H, W),
+                             prefix=f"transformer_blocks.{i}."))
+        tokens = block(params, tokens, style, orig)
     h = tokens.reshape(B, H, W, C)
 
     for name in ("up1", "up2"):
-        h = conv_transpose2d(h, params[f"{name}.0.weight"],
-                             params[f"{name}.0.bias"], stride=2, padding=1)
-        h = relu(instance_norm(h))
-        h = local_attention_apply(params, h, prefix=f"{name}.3.",
-                                  window_size=window_size,
-                                  fast=fast_attention)
-        h = multi_scale_block_apply(params, h, prefix=f"{name}.4.")
+        h = up_stage(name)(params, h)
 
     h = conv2d(h, params["output.0.weight"], params["output.0.bias"], padding=3)
     return tanh(h)

@@ -22,6 +22,7 @@ TPU-first deviations (documented, math-intent preserving):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, NamedTuple
 
 import jax
@@ -84,20 +85,24 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
 
 
 def cyclegan_train_step(state: CycleGANState, real_A, real_B,
-                        g_tx=None, d_tx=None, compute_dtype=jnp.float32):
+                        g_tx=None, d_tx=None, compute_dtype=jnp.float32,
+                        remat=True):
     """One full CycleGAN step. real_A/real_B: (B, H, W, 3) in [-1, 1].
 
     Returns (new_state, losses_dict) — losses match the reference's returned
-    dict keys (enhanced_train.py:125-131).
+    dict keys (enhanced_train.py:125-131). remat=True rematerializes
+    generator stages in the backward pass — the reference enables gradient
+    checkpointing for CycleGAN training (enhanced_train.py:24-25).
     """
+    gen = partial(enhanced_generator_apply, remat=remat)
     if g_tx is None or d_tx is None:
         g_tx, d_tx = make_optimizers()
     xa = real_A.astype(compute_dtype)
     xb = real_B.astype(compute_dtype)
 
     # fakes for the D phase (values only — stop_gradient = .detach())
-    fake_B0 = enhanced_generator_apply(state.g_params["G_AB"], xa)
-    fake_A0 = enhanced_generator_apply(state.g_params["G_BA"], xb)
+    fake_B0 = gen(state.g_params["G_AB"], xa)
+    fake_A0 = gen(state.g_params["G_BA"], xb)
     fake_B0 = jax.lax.stop_gradient(fake_B0)
     fake_A0 = jax.lax.stop_gradient(fake_A0)
 
@@ -123,11 +128,11 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
 
     # ---------------- generator phase (vs updated D) ----------------
     def g_loss_fn(g_params):
-        fake_B = enhanced_generator_apply(g_params["G_AB"], xa)
-        fake_A = enhanced_generator_apply(g_params["G_BA"], xb)
+        fake_B = gen(g_params["G_AB"], xa)
+        fake_A = gen(g_params["G_BA"], xb)
 
-        idt_A = enhanced_generator_apply(g_params["G_BA"], xa)
-        idt_B = enhanced_generator_apply(g_params["G_AB"], xb)
+        idt_A = gen(g_params["G_BA"], xa)
+        idt_B = gen(g_params["G_AB"], xb)
         identity = (l1_loss(idt_A, xa) + l1_loss(idt_B, xb)) * LAMBDA_IDENTITY
 
         fa, fa_map, _ = discriminator_apply(new_d_params["D_A"], new_sn["D_A"],
@@ -136,8 +141,8 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
                                             fake_B, update_sn=False)
         gan = lsgan_loss(fa, 1.0) + lsgan_loss(fb, 1.0)
 
-        recon_A = enhanced_generator_apply(g_params["G_BA"], fake_B)
-        recon_B = enhanced_generator_apply(g_params["G_AB"], fake_A)
+        recon_A = gen(g_params["G_BA"], fake_B)
+        recon_B = gen(g_params["G_AB"], fake_A)
         cycle = (l1_loss(recon_A, xa) + l1_loss(recon_B, xb)) * LAMBDA_CYCLE
 
         _, ra_map, _ = discriminator_apply(new_d_params["D_A"], new_sn["D_A"],

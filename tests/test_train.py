@@ -98,3 +98,31 @@ def test_save_models_torch_loadable(rng, tmp_path):
                     map_location="cpu", weights_only=False)
     assert "main.0.weight_orig" in dk["D_A_state_dict"]
     assert "main.0.weight_u" in dk["D_A_state_dict"]
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint (gradient checkpointing parity with the reference's
+    gradient_checkpointing_enable) must not change values or gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_style_transfer_gan_tpu.models import (
+        enhanced_generator_apply, enhanced_generator_init,
+    )
+
+    params = enhanced_generator_init(jax.random.PRNGKey(0), channels=4,
+                                     num_transformer_blocks=1)
+    x = jnp.asarray(np.tanh(np.random.default_rng(0)
+                            .standard_normal((1, 32, 32, 3))), jnp.float32)
+
+    def loss(p, remat):
+        return jnp.mean(jnp.square(enhanced_generator_apply(p, x,
+                                                            remat=remat)))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
