@@ -30,8 +30,9 @@ import jax
 import jax.numpy as jnp
 
 SIZE = 512
-BATCH = 32
-ITERS = 10
+BATCH = 96  # batch-size sweep: 121 img/s @16, 175 @32, 231 @64, 261 @96;
+            # >=128 fails remote compile on this deployment
+ITERS = 6
 BASELINE_PER_CHIP = 1000.0 / 8.0
 
 
