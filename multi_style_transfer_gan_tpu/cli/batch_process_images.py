@@ -29,7 +29,7 @@ def main(argv=None):
     p.add_argument("--no_smooth", dest="smooth", action="store_false")
     # TPU additions (the reference runs batch=1 serially)
     p.add_argument("--models_dir", type=str, default="models")
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 generator compute (TPU fast path)")
     p.add_argument("--fast_attention", action="store_true",

@@ -185,7 +185,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                   mode: str = "cyclegan", local_style_mode: str = "enhanced",
                   direction: str = "photo2monet", strength: float = 0.8,
                   detail: float = 0.7, enhance_colors: bool = True,
-                  smooth: bool = True, batch_size: int = 16,
+                  smooth: bool = True, batch_size: int = 64,
                   decode_workers: int = 8, compute_dtype=None,
                   fast_attention: bool = False, mesh=None) -> dict:
     """Process every image in ``input_dir``; returns a stats dict.
