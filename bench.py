@@ -63,20 +63,29 @@ def main():
     enable_compilation_cache()
 
     rng = np.random.default_rng(0)
-    batches = [jax.device_put(rng.integers(0, 256, (BATCH, SIZE, SIZE, 3),
-                                           dtype=np.uint8))
-               for _ in range(ITERS)]
 
-    pipeline = None
-    for fast in (True, False):
-        params, candidate = _build_pipeline(fast)
-        try:
-            _ = np.asarray(candidate(params, batches[0])[0, :1, :1])
-            pipeline = candidate
+    # The remote compile service 500s transiently under load; try each
+    # (attention-path, batch) candidate a couple of times and step the batch
+    # size down before giving up.
+    pipeline, batch_size, params = None, None, None
+    for bs in (BATCH, 32):
+        batches = [jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
+                                               dtype=np.uint8))
+                   for _ in range(ITERS)]
+        for fast in (True, False):
+            params, candidate = _build_pipeline(fast)
+            for attempt in range(2):
+                try:
+                    _ = np.asarray(candidate(params, batches[0])[0, :1, :1])
+                    pipeline, batch_size = candidate, bs
+                    break
+                except Exception as e:
+                    print(f"# fast_attention={fast} batch={bs} try{attempt}: "
+                          f"{str(e)[:120]}", flush=True)
+            if pipeline is not None:
+                break
+        if pipeline is not None:
             break
-        except Exception as e:
-            print(f"# fast_attention={fast} unavailable: {str(e)[:120]}",
-                  flush=True)
     if pipeline is None:
         raise SystemExit("no pipeline compiled")
 
@@ -96,7 +105,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     n_chips = max(1, len(jax.devices()))
-    per_chip = BATCH * ITERS / best / n_chips
+    per_chip = batch_size * ITERS / best / n_chips
     print(json.dumps({
         "metric": "512x512 stylized images/sec/chip (EnhancedGenerator c16, bf16)",
         "value": round(per_chip, 2),
