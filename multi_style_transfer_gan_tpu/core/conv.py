@@ -31,6 +31,15 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _accum_dtype(x, preferred_dtype):
+    """Conv output/accumulator dtype. For bf16 inputs the MXU accumulates
+    fp32 internally regardless; requesting an fp32 OUTPUT from a bf16 conv
+    breaks the kernel-gradient transpose rule (lax transpose_rhs requires
+    matching operand dtypes), so under mixed precision the conv emits the
+    input dtype — numerically identical to fp32-out + our astype below."""
+    return preferred_dtype if x.dtype == jnp.float32 else x.dtype
+
+
 def conv2d(x, w, b=None, *, stride=1, padding=0, dilation=1,
            preferred_dtype=jnp.float32):
     """2-D convolution matching ``torch.nn.functional.conv2d``.
@@ -51,7 +60,7 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, dilation=1,
         padding=[(p[0], p[0]), (p[1], p[1])],
         rhs_dilation=d,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_accum_dtype(x, preferred_dtype),
     )
     out = out.astype(x.dtype)
     if b is not None:
@@ -89,7 +98,7 @@ def conv_transpose2d(x, w, b=None, *, stride=1, padding=0, output_padding=0,
         lhs_dilation=s,
         rhs_dilation=d,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=preferred_dtype,
+        preferred_element_type=_accum_dtype(x, preferred_dtype),
     )
     out = out.astype(x.dtype)
     if b is not None:

@@ -126,3 +126,26 @@ def test_remat_gradients_match():
     for k in g0:
         np.testing.assert_allclose(np.asarray(g0[k]), np.asarray(g1[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_bf16_train_step_runs():
+    """Mixed-precision (bf16 compute) CycleGAN step — the torch-AMP
+    replacement — must differentiate through all convs (regression: conv
+    kernel-gradient transpose requires matching operand dtypes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_style_transfer_gan_tpu.train import (
+        cyclegan_init_state, cyclegan_train_step,
+    )
+    from multi_style_transfer_gan_tpu.train.cyclegan import make_optimizers
+
+    state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4,
+                                num_transformer_blocks=1)
+    g_tx, d_tx = make_optimizers()
+    x = jnp.asarray(np.tanh(np.random.default_rng(0)
+                            .standard_normal((1, 32, 32, 3))), jnp.float32)
+    state, losses = jax.jit(lambda s, a, b: cyclegan_train_step(
+        s, a, b, g_tx, d_tx, compute_dtype=jnp.bfloat16))(state, x, x)
+    assert all(np.isfinite(float(v)) for v in losses.values())
