@@ -132,10 +132,12 @@ def multi_scale_block_apply(params, x, *, prefix: str):
     g = lambda n: params[f"{prefix}{n}"]
     outs = []
     for name, k, p, d in _MSB_BRANCHES:
-        h = conv2d(x, g(f"{name}.0.weight"), g(f"{name}.0.bias"),
-                   padding=p, dilation=d)
-        outs.append(relu(instance_norm(h)))
-    h = jnp.concatenate(outs, axis=-1)
+        outs.append(conv2d(x, g(f"{name}.0.weight"), g(f"{name}.0.bias"),
+                           padding=p, dilation=d))
+    # InstanceNorm is per-channel, so IN+ReLU commutes with channel concat:
+    # one pass over the concatenated tensor instead of four per-branch passes
+    # (exact same numbers, fewer HBM round trips).
+    h = relu(instance_norm(jnp.concatenate(outs, axis=-1)))
     h = conv2d(h, g("fusion.0.weight"), g("fusion.0.bias"))
     return relu(instance_norm(h)) + x
 

@@ -143,12 +143,14 @@ def _msb(p, x, prefix, c):
                 jnp.zeros((k, k, 1, 1)), None, f_in=F, f_out=F,
                 stride=1, padding=pad, dilation=dil)
             h = packed_conv2d(x, p[f"{key}.weight"], p[f"{key}.bias"], spec)
-        outs.append(relu(packed_instance_norm(h, F)))
-    # interleave phases so concat matches the original channel order
+        outs.append(h)
+    # interleave phases so concat matches the original channel order; IN is
+    # per-channel so a single post-concat IN+ReLU equals per-branch passes
     B, Hp, Wp, _ = outs[0].shape
     P = F * F
     h = jnp.concatenate([o.reshape(B, Hp, Wp, P, c // 4) for o in outs],
                         axis=-1).reshape(B, Hp, Wp, P * c)
+    h = relu(packed_instance_norm(h, F))
     h = packed_per_channel_linear(h, p[f"{prefix}fusion.0.weight"],
                                   p[f"{prefix}fusion.0.bias"], F)
     return relu(packed_instance_norm(h, F)) + x
