@@ -32,11 +32,14 @@ def _pair(v):
 
 
 def _accum_dtype(x, preferred_dtype):
-    """Conv output/accumulator dtype. For bf16 inputs the MXU accumulates
+    """Conv output/accumulator dtype. For bf16 inputs the TPU MXU accumulates
     fp32 internally regardless; requesting an fp32 OUTPUT from a bf16 conv
     breaks the kernel-gradient transpose rule (lax transpose_rhs requires
     matching operand dtypes), so under mixed precision the conv emits the
-    input dtype — numerically identical to fp32-out + our astype below."""
+    input dtype — on TPU numerically identical to fp32-out + our astype
+    below. (On backends whose narrow-dtype convs also accumulate narrowly
+    this is the standard mixed-precision trade; this framework's bf16 path
+    targets the TPU, and fp32 inputs are unaffected.)"""
     return preferred_dtype if x.dtype == jnp.float32 else x.dtype
 
 
@@ -50,8 +53,9 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, dilation=1,
       b: optional (Cout,) bias.
       stride / padding / dilation: int or (int, int), symmetric padding —
         exactly PyTorch's Conv2d semantics.
-      preferred_dtype: accumulator dtype for the MXU (keep fp32 even for
-        bf16 inputs).
+      preferred_dtype: requested output/accumulator dtype for fp32 inputs.
+        For non-fp32 inputs the conv emits the input dtype instead (see
+        _accum_dtype — the TPU MXU accumulates fp32 internally either way).
     """
     s, p, d = _pair(stride), _pair(padding), _pair(dilation)
     out = lax.conv_general_dilated(

@@ -28,12 +28,12 @@ from ..core import linear, relu, tanh
 from ..core.activations import gelu
 from ..ops.packed import (
     space_to_depth, depth_to_space,
-    pack_conv2d_weight, packed_conv2d,
+    pack_conv2d_spec, pack_conv2d_weight, packed_conv2d,
     pack_conv_transpose2d_weight, packed_conv_transpose2d,
     packed_instance_norm, packed_per_channel_linear,
     packed_window_channel_attention, packed_global_avg_pool,
 )
-from .enhanced_generator import _MSB_BRANCHES, channels_of, num_transformer_blocks_of
+from .enhanced_generator import _MSB_BRANCHES, num_transformer_blocks_of
 from .structural_transformer import _layer_norm
 
 F = 4  # packing factor == LocalAttention window size
@@ -44,7 +44,6 @@ F = 4  # packing factor == LocalAttention window size
 # ---------------------------------------------------------------------------
 
 def _pack_params_impl(params):
-    c = channels_of(params)
     n_blocks = num_transformer_blocks_of(params)
     p = {}
 
@@ -109,11 +108,6 @@ def pack_enhanced_generator_params(params, dtype=None):
 # Packed layer helpers
 # ---------------------------------------------------------------------------
 
-def _spec_conv(params_key_kw):
-    """Recompute the (static) packed conv spec; cheap host-side math."""
-    return params_key_kw
-
-
 def _attention(p, x, prefix, fast=False):
     if fast:
         # fused Pallas kernel on the packed layout (no lane-padded
@@ -139,9 +133,8 @@ def _msb(p, x, prefix, c):
             h = packed_per_channel_linear(x, p[f"{key}.weight"],
                                           p[f"{key}.bias"], F)
         else:
-            _, _, spec = pack_conv2d_weight(
-                jnp.zeros((k, k, 1, 1)), None, f_in=F, f_out=F,
-                stride=1, padding=pad, dilation=dil)
+            spec = pack_conv2d_spec(k, f_in=F, f_out=F, stride=1,
+                                    padding=pad, dilation=dil)
             h = packed_conv2d(x, p[f"{key}.weight"], p[f"{key}.bias"], spec)
         outs.append(h)
     # interleave phases so concat matches the original channel order; IN is
@@ -212,8 +205,7 @@ def _packed_transformer_block(p, tokens_p, style, xp_input, prefix, dim):
     g = lambda n: p[f"{prefix}{n}"]
     B, Hp, Wp, _ = tokens_p.shape
 
-    _, _, spec = pack_conv2d_weight(jnp.zeros((3, 3, 1, 1)), None,
-                                    f_in=F, f_out=F, stride=2, padding=1)
+    spec = pack_conv2d_spec(3, f_in=F, f_out=F, stride=2, padding=1)
     s = relu(packed_conv2d(xp_input, g("struct_embed.0.weight"),
                            g("struct_embed.0.bias"), spec))
     s = relu(packed_conv2d(s, g("struct_embed.2.weight"),
@@ -262,10 +254,8 @@ def packed_enhanced_generator_apply(packed, x, *, fast_attention=False):
 
     xp = space_to_depth(x, F)
 
-    _, _, spec7 = pack_conv2d_weight(jnp.zeros((7, 7, 1, 1)), None,
-                                     f_in=F, f_out=F, stride=1, padding=3)
-    _, _, spec4s2 = pack_conv2d_weight(jnp.zeros((4, 4, 1, 1)), None,
-                                       f_in=F, f_out=F, stride=2, padding=1)
+    spec7 = pack_conv2d_spec(7, f_in=F, f_out=F, stride=1, padding=3)
+    spec4s2 = pack_conv2d_spec(4, f_in=F, f_out=F, stride=2, padding=1)
     _, _, spect = pack_conv_transpose2d_weight(jnp.zeros((4, 4, 1, 1)), None,
                                                f_in=F, f_out=F, stride=2,
                                                padding=1)

@@ -94,6 +94,20 @@ def _conv_axis_map(K: int, stride: int, pad: int, dil: int,
     return M, d_min, K_p, stride_p
 
 
+def pack_conv2d_spec(K, *, f_in: int, f_out: int, stride=1, padding=0,
+                     dilation=1):
+    """The static {stride, padding} spec of a repacked conv — host-side
+    integer math only (no array work); matches pack_conv2d_weight."""
+    Kh, Kw = (K, K) if isinstance(K, int) else tuple(K)
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    d = (dilation, dilation) if isinstance(dilation, int) else tuple(dilation)
+    _, dmin_i, _, sp_h = _conv_axis_map(Kh, s[0], p[0], d[0], f_in, f_out)
+    _, dmin_j, _, sp_w = _conv_axis_map(Kw, s[1], p[1], d[1], f_in, f_out)
+    return {"stride": (sp_h, sp_w),
+            "padding": ((-dmin_i, -dmin_i), (-dmin_j, -dmin_j))}
+
+
 def pack_conv2d_weight(w, b, *, f_in: int, f_out: int, stride=1, padding=0,
                        dilation=1):
     """Repack an HWIO conv kernel to act on s2d(f_in) input -> s2d(f_out) out.

@@ -207,9 +207,18 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     out_dir = os.path.join(output_dir, sub)
     os.makedirs(out_dir, exist_ok=True)
 
+    # Small folders: shrink the compiled batch to the next power of two so a
+    # 3-image run doesn't pay a 64-wide padded forward (the tail batch pads
+    # by repeating the last image — one compiled shape per run either way).
+    pow2 = 1
+    while pow2 < min(batch_size, len(files)):
+        pow2 *= 2
+    batch_size = min(batch_size, pow2)
+
     if mesh is not None:
         from ..parallel import data_sharding, local_batch_size
 
+        batch_size = max(batch_size, mesh.shape["data"])
         local_batch_size(batch_size, mesh)  # validates divisibility
         batch_sharding = data_sharding(mesh, 4)
 
@@ -217,6 +226,20 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                            enhance_colors, smooth,
                            compute_dtype=compute_dtype,
                            fast_attention=fast_attention)
+    if fast_attention:
+        # The fused Pallas kernel's remote compile fails sporadically on
+        # some deployments; probe it once and fall back to the XLA
+        # attention formulation (same math) rather than crash mid-run.
+        try:
+            probe = np.zeros((batch_size, CANVAS, CANVAS, 3), np.uint8)
+            _ = np.asarray(run_fn(jax.device_put(probe))[0, :1, :1])
+        except Exception as e:
+            print(f"fast_attention unavailable ({str(e)[:80]}); "
+                  "falling back to XLA attention")
+            run_fn = make_batch_fn(model, mode, local_style_mode, strength,
+                                   detail, enhance_colors, smooth,
+                                   compute_dtype=compute_dtype,
+                                   fast_attention=False)
 
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
     save_pool = ThreadPoolExecutor(max_workers=decode_workers)

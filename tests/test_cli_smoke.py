@@ -177,3 +177,22 @@ def test_m_test_cli(env, tmp_path):
           "--g_ba", str(env / "gba.pth"), "--output_dir", str(tmp_path),
           "--max_images", "2"])
     assert (tmp_path / "test_results.txt").exists()
+
+
+def test_batch_process_images_cli(env, tmp_path):
+    """The batch CLI with the new TPU flags (bf16 + data-parallel mesh)."""
+    import shutil
+
+    from multi_style_transfer_gan_tpu.cli.batch_process_images import main
+
+    models = tmp_path / "models"
+    models.mkdir()
+    shutil.copy(env / "gab.pth", models / "G_AB_epoch_200.pth")
+    rc = main(["--input_dir", str(env / "imgs"),
+               "--output_dir", str(tmp_path / "out"),
+               "--mode", "local_style", "--direction", "monet2photo",
+               "--models_dir", str(models), "--batch_size", "8",
+               "--bf16", "--data_parallel"])
+    assert rc == 0
+    out = tmp_path / "out" / "local_style_enhanced_monet2photo"
+    assert len(os.listdir(out)) == 3
