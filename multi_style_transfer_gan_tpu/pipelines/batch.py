@@ -246,7 +246,12 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
 
     from ..native import available as native_available, decode_canvas_batch
 
-    use_native = native_available()
+    # PIL releases the GIL in its (SIMD) decode/resize paths and measured
+    # faster per-image than the native loader (87 vs 56 img/s on this
+    # deployment's single-core host), so the thread-pool PIL path is the
+    # default; set MSTGAN_NATIVE_DECODE=1 to use the C++ loader instead.
+    use_native = (os.environ.get("MSTGAN_NATIVE_DECODE") == "1"
+                  and native_available())
 
     n_failed = 0
 
