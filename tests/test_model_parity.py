@@ -114,3 +114,20 @@ def test_legacy_G_A_key(rng, tmp_path):
     torch.save({"G_A": sd, "G_B": sd}, path)
     got = extract_state_dict(load_pth(path))
     assert detect_model_kind(got) == "plain"
+
+
+def test_enhanced_generator_ssim_vs_torch(rng):
+    """BASELINE.json import criterion: SSIM >= 0.99 vs the PyTorch reference
+    output after .pth weight import (measured with our own SSIM kernel on
+    the [0,1] images a user would save)."""
+    from multi_style_transfer_gan_tpu.metrics.quality import ssim
+    from multi_style_transfer_gan_tpu.ops import from_model_range
+
+    sd = oracle.make_enhanced_sd(rng, c=16, num_blocks=1)
+    params = enhanced_generator_from_sd(sd)
+    x = np.tanh(rng.standard_normal((1, 3, 256, 256))).astype(np.float32)
+    ref = oracle.enhanced_generator_forward(sd, torch.from_numpy(x)).numpy()
+    out = enhanced_generator_apply(params, jnp.asarray(_nhwc(x)))
+    s = float(ssim(from_model_range(jnp.asarray(_nhwc(ref))),
+                   from_model_range(out))[0])
+    assert s >= 0.99, s
