@@ -38,7 +38,7 @@ def main(argv=None):
 
     from ..data import ImageFolderDataset, prefetch_to_device
     from ..ops import to_model_range
-    from ..parallel import make_mesh, data_sharding, replicate_tree
+    from ..parallel import make_mesh_for_batch, data_sharding, replicate_tree
     from ..train import (
         pretrain_init_state, pretrain_train_step, save_pretrain_checkpoint,
     )
@@ -64,7 +64,7 @@ def main(argv=None):
                               step=jnp.asarray(start_epoch * steps_per_epoch))
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
     step_fn = jax.jit(lambda s, x, k: pretrain_train_step(s, tx, x, k))

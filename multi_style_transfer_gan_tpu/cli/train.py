@@ -35,7 +35,7 @@ def main(argv=None):
 
     from ..data import ImageFolderDataset, prefetch_to_device
     from ..ops import to_model_range
-    from ..parallel import make_mesh, data_sharding, replicate_tree
+    from ..parallel import make_mesh_for_batch, data_sharding, replicate_tree
     from ..train import cyclegan_init_state, cyclegan_train_step, save_models
     from ..train.cyclegan import make_optimizers
     from ..weights import load_pth, extract_state_dict, plain_generator_from_sd
@@ -58,7 +58,7 @@ def main(argv=None):
                                 args.num_transformer_blocks,
                                 pretrained_params=pre)
     g_tx, d_tx = make_optimizers()
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

@@ -147,8 +147,9 @@ def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
                 else:
                     item = jax.tree.map(jax.device_put, item)
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer, don't swallow
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -156,4 +157,6 @@ def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -6,11 +6,11 @@ mandated by the v5e-8 throughput target.
 """
 
 from .mesh import (
-    make_mesh, data_sharding, replicated, shard_batch, replicate_tree,
+    make_mesh, make_mesh_for_batch, data_sharding, replicated, shard_batch, replicate_tree,
     local_batch_size,
 )
 
 __all__ = [
-    "make_mesh", "data_sharding", "replicated", "shard_batch",
+    "make_mesh", "make_mesh_for_batch", "data_sharding", "replicated", "shard_batch",
     "replicate_tree", "local_batch_size",
 ]

@@ -36,6 +36,21 @@ def make_mesh(devices: Sequence | None = None,
     return Mesh(arr, axis_names)
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Sequence | None = None) -> Mesh:
+    """Largest data-parallel mesh whose data axis divides ``batch_size``.
+
+    Training CLIs use this so any batch size works on any device count
+    (dp = gcd(batch, n_devices)); devices beyond dp are left out rather
+    than producing an un-shardable batch.
+    """
+    import math
+
+    devices = list(devices if devices is not None else jax.devices())
+    dp = math.gcd(max(batch_size, 1), len(devices)) or 1
+    return make_mesh(devices[:dp], (dp, 1))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
