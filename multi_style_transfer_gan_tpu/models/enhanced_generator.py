@@ -64,10 +64,20 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
     ws = window_size
 
     if fast:
-        # fused Pallas kernel (ops/pallas/window_attention.py): same math,
-        # one VMEM-resident pass instead of qkv/attn/proj HBM round trips
-        # (~27% faster on v5e at 256^2x32; MXU passes may run bf16, so the
-        # parity-critical 'highest' path keeps the XLA formulation below).
+        # fused Pallas kernels: same math, one VMEM-resident pass instead of
+        # qkv/attn/proj HBM round trips. Two kernels by channel width: the
+        # wide full-resolution stages (C <= 32) use the dense block-diagonal
+        # packed-row kernel (v3 — 2.9x over v1 at 512^2 C=16, where lane
+        # sparsity starves v1); wider C keeps the per-window v1 kernel (v3's
+        # flattened C*C lanes and expanded weights grow quadratically). MXU
+        # passes may run bf16, so the parity-critical 'highest' path keeps
+        # the XLA formulation below.
+        if C <= 32 and ws == 4:
+            from ..ops.pallas.window_attention_v3 import window_attention_v3
+
+            return window_attention_v3(
+                x, g("qkv.weight"), g("qkv.bias"), g("proj.weight"),
+                g("proj.bias"), window_size=ws, eps=eps)
         from ..ops.pallas import fused_window_channel_attention
 
         return fused_window_channel_attention(

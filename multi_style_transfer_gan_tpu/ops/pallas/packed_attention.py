@@ -27,8 +27,9 @@ TPU mapping:
   grid step and was ~10x slower than the einsum path).
 - the per-window C x C attention is vectorized over query channels: the
   attention matrix lives FLATTENED in the lane dim as C*C lanes (c1-major).
-  Broadcasts between (T, C) and (T, C*C) are pltpu.repeat (c2-minor tile)
-  and a 0/1 (C, C*C) matmul (c1-major element repeat); the grouped softmax
+  Broadcasts between (T, C) and (T, C*C) are 0/1 (C, C*C) matmuls (c2-minor
+  tile and c1-major element repeat — pltpu.repeat on sub-128-lane blocks
+  miscompiles on real Mosaic, interpret mode is fine); the grouped softmax
   denominator and the value reduction are one (T, C*C) x (C*C, C) MXU matmul
   each. ~6 vector/matrix ops per phase — no O(P*C) scalar-slice unrolling
   (which blows up Mosaic compile time).
@@ -50,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, gsum_ref,
-            brep_ref, o_ref, *, P: int, C: int, eps: float):
+            brep_ref, btile_ref, o_ref, *, P: int, C: int, eps: float):
     x = x_ref[:]  # (T, P*C)
     wqkv = wqkv_ref[:].astype(x.dtype)
     bqkv = bqkv_ref[:].astype(jnp.float32)
@@ -68,7 +69,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, gsum_ref,
         return jnp.dot(u, brep_ref[:], preferred_element_type=jnp.float32)
 
     def _tile(u):  # (T, C) -> (T, C*C), value at lane c1*C+c2 = u[:, c2]
-        return pltpu.repeat(u, C, axis=1)
+        # 0/1 matmul, NOT pltpu.repeat: repeat on a (T, C) block with C < 128
+        # (sub-lane-tile) miscompiles on real Mosaic (interpret mode is fine).
+        return jnp.dot(u, btile_ref[:], preferred_element_type=jnp.float32)
 
     qn, kn, vs = [], [], []
     for p in range(P):
@@ -130,6 +133,7 @@ def packed_window_attention_pallas(x, wqkv, bqkv, wproj, bproj, *,
     # brep = gsum^T broadcasts a (T, C) row back to c1-major (T, C*C) lanes
     gsum = jnp.repeat(jnp.eye(C, dtype=jnp.float32), C, axis=0)
     brep = gsum.T
+    btile = jnp.tile(jnp.eye(C, dtype=jnp.float32), (1, C))  # (C, C*C)
 
     out = pl.pallas_call(
         partial(_kernel, P=P, C=C, eps=eps),
@@ -145,9 +149,11 @@ def packed_window_attention_pallas(x, wqkv, bqkv, wproj, bproj, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T, Cp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, Cp), x.dtype),
-    )(t, wqkv, bqkv, wproj, bproj, gsum, brep)
+    )(t, wqkv, bqkv, wproj, bproj, gsum, brep, btile)
     return out.reshape(B, Hp, Wp, Cp)

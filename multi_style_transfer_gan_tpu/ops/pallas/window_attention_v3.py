@@ -1,0 +1,218 @@
+"""Windowed channel attention, v3 — packed-row Pallas kernel (the 512^2 fix).
+
+LocalAttention (reference: enhanced_generator.py:6-47) at the generator's
+full-resolution stages runs at tiny channel width (C=16 at 512^2, C=32 at
+256^2). The v1 kernel (window_attention.py) lays windows out as (T*16, C)
+rows and batches (C,16)x(16,C) dots over T<=64 windows per grid step — at
+512^2 that is ~24.6k grid steps of lane-sparse (C/128) work, measured at
+~140 ms for a 96-image batch, 36% of the whole forward.
+
+v3 instead uses the space-to-depth packed layout (ops/packed.py): one row of
+P*C lanes per window (P = ws^2 = 16, position-major), so a (T, P*C) tile is
+lane-dense for C >= 8 and T can be hundreds. The per-window math becomes:
+
+  qkv   : ONE dense (T, P*C) x (P*C, 3*P*C) MXU matmul against a
+          block-diagonal-by-position expansion of the (C, 3C) weight.
+          16x redundant FLOPs vs the minimal math, but the MXU runs dense
+          instead of at C/128 utilization — bandwidth, not FLOPs, is the
+          binding constraint at these shapes.
+  norm  : grouped sum-of-squares over each position's C lanes via a 0/1
+          (P*C, P) matmul, zero-safe rsqrt, broadcast back via its
+          transpose (matches the reference's zero-safe F.normalize).
+  logits: attention matrix FLATTENED to C*C lanes (c1-major):
+          logits += rep(qn_p) * tile(kn_p) per position — P VPU
+          multiply-adds on (T, C*C); rep and tile are both 0/1
+          (C, C*C) matmuls (pltpu.repeat miscompiles for C < 128).
+  smax  : exp (safe: logits are sums of P unit dots, |logit| <= P), group
+          denominator via a 0/1 (C*C, C) matmul, divide.
+  out   : o_p = (attn * tile(v_p)) @ Msum per position, concat; ONE dense
+          block-diagonal (P*C, P*C) projection matmul.
+
+The only HBM traffic is one read of x and one write of the result; all the
+0/1 matrices and expanded weights have constant index maps so Mosaic keeps
+them VMEM-resident across grid steps. For C=16 the expanded weights total
+<1 MB bf16.
+
+Callers go through `window_attention_v3`, which takes NHWC input and does
+the s2d/d2s relayout in XLA (fuses with neighbors). Numerics match
+`local_attention_apply` (fp32 normalize/softmax/accumulation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            mpos_ref, mpos_t_ref, brep_ref, btile_ref, msum_ref, o_ref,
+            *, P: int, C: int, eps: float):
+    x = x_ref[:]  # (T, P*C) packed rows, position-major lanes
+    qkv = jnp.dot(x, wqkv_ref[:].astype(x.dtype),
+                  preferred_element_type=jnp.float32)
+    qkv = qkv + bqkv_ref[:]                      # (T, 3*P*C) fp32
+    PC = P * C
+    q = qkv[:, :PC]
+    k = qkv[:, PC:2 * PC]
+    v = qkv[:, 2 * PC:]
+
+    def _norm(u):  # zero-safe unit L2 over each position's C lanes
+        ss = jnp.dot(u * u, mpos_ref[:],
+                     preferred_element_type=jnp.float32)      # (T, P)
+        inv = jnp.where(ss == 0, 0.0,
+                        1.0 / jnp.maximum(jnp.sqrt(jnp.where(ss == 0, 1.0,
+                                                             ss)), eps))
+        return u * jnp.dot(inv, mpos_t_ref[:],
+                           preferred_element_type=jnp.float32)
+
+    qn = _norm(q)
+    kn = _norm(k)
+
+    def _rep(u):   # (T, C) -> (T, C*C): lane c1*C+c2 = u[:, c1]
+        return jnp.dot(u, brep_ref[:], preferred_element_type=jnp.float32)
+
+    def _tile(u):  # (T, C) -> (T, C*C): lane c1*C+c2 = u[:, c2]
+        # 0/1 matmul, NOT pltpu.repeat: repeat on a (T, C) block with C < 128
+        # (sub-lane-tile) miscompiles on real Mosaic (interpret mode is fine)
+        # — the whole-model output was off by ~1e0 until this was a matmul.
+        return jnp.dot(u, btile_ref[:], preferred_element_type=jnp.float32)
+
+    logits = _rep(qn[:, :C]) * _tile(kn[:, :C])
+    for p in range(1, P):
+        logits += _rep(qn[:, p * C:(p + 1) * C]) * _tile(kn[:, p * C:
+                                                            (p + 1) * C])
+    e = jnp.exp(logits)                                       # (T, C*C)
+    den = jnp.dot(e, msum_ref[:], preferred_element_type=jnp.float32)
+    attn = e * _rep(1.0 / den)
+
+    outs = []
+    for p in range(P):
+        o_p = jnp.dot(attn * _tile(v[:, p * C:(p + 1) * C]), msum_ref[:],
+                      preferred_element_type=jnp.float32)     # (T, C)
+        outs.append(o_p.astype(x.dtype))
+    out = jnp.concatenate(outs, axis=-1)                      # (T, P*C)
+    proj = jnp.dot(out, wproj_ref[:].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    o_ref[:] = (proj + bproj_ref[:]).astype(o_ref.dtype)
+
+
+def _expand_weights(wqkv, bqkv, wproj, bproj, P: int, C: int):
+    """Block-diagonal-by-position expansions + the 0/1 helper matrices."""
+    wqkv = wqkv.reshape(C, 3 * C).astype(jnp.float32)
+    wproj = wproj.reshape(C, C).astype(jnp.float32)
+    eye_p = jnp.eye(P, dtype=jnp.float32)
+    # (P*C, P*3C) with per-position blocks, then regroup lanes so the three
+    # (q, k, v) streams are contiguous: lane order (s, p, c).
+    big = jnp.einsum("pq,cd->pcqd", eye_p, wqkv).reshape(P * C, P, 3, C)
+    wqkv_big = big.transpose(0, 2, 1, 3).reshape(P * C, 3 * P * C)
+    bqkv_big = jnp.concatenate(
+        [jnp.tile(bqkv.astype(jnp.float32)[s * C:(s + 1) * C], P)
+         for s in range(3)])
+    wproj_big = jnp.einsum("pq,cd->pcqd", eye_p, wproj).reshape(P * C, P * C)
+    bproj_big = jnp.tile(bproj.astype(jnp.float32), P)
+
+    mpos = jnp.repeat(jnp.eye(P, dtype=jnp.float32), C, axis=0)  # (P*C, P)
+    mpos_t = mpos.T                                              # (P, P*C)
+    brep = jnp.repeat(jnp.eye(C, dtype=jnp.float32), C, axis=1)  # (C, C*C)
+    btile = jnp.tile(jnp.eye(C, dtype=jnp.float32), (1, C))      # (C, C*C)
+    msum = jnp.repeat(jnp.eye(C, dtype=jnp.float32), C, axis=0)  # (C*C, C)
+    return (wqkv_big, bqkv_big, wproj_big, bproj_big,
+            mpos, mpos_t, brep, btile, msum)
+
+
+def _run_packed_rows(t, wqkv, bqkv, wproj, bproj, *, P: int, C: int,
+                     tile_rows: int | None, eps: float, interpret: bool):
+    """Kernel launch on (R, P*C) packed rows; returns (R, P*C)."""
+    R = t.shape[0]
+    expanded = _expand_weights(wqkv, bqkv, wproj, bproj, P, C)
+
+    if tile_rows is None:
+        tile_rows = 512 if C <= 16 else 256
+    T = min(tile_rows, R)
+    while R % T:
+        T //= 2
+    T = max(T, 1)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_kernel, P=P, C=C, eps=eps),
+        grid=(R // T,),
+        in_specs=[
+            pl.BlockSpec((T, P * C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const((P * C, 3 * P * C)),
+            const((3 * P * C,)),
+            const((P * C, P * C)),
+            const((P * C,)),
+            const((P * C, P)),
+            const((P, P * C)),
+            const((C, C * C)),
+            const((C, C * C)),
+            const((C * C, C)),
+        ],
+        out_specs=pl.BlockSpec((T, P * C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, P * C), t.dtype),
+        interpret=interpret,
+    )(t, *expanded)
+    return out
+
+
+def window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
+                        window_size: int = 4,
+                        tile_rows: int | None = None,
+                        eps: float = 1e-12,
+                        interpret: bool = False):
+    """Drop-in for local_attention_apply's math; NHWC in/out.
+
+    x: (B, H, W, C) with H, W divisible by window_size. Designed for the
+    small-C full-resolution stages (C <= 32); for larger C the flattened
+    C*C lane dim grows quadratically and v1 wins.
+    """
+    B, H, W, C = x.shape
+    ws = window_size
+    P = ws * ws
+    nh, nw = H // ws, W // ws
+    R = B * nh * nw
+
+    # space-to-depth: one packed row per window, position-major lanes
+    t = x.reshape(B, nh, ws, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    t = t.reshape(R, P * C)
+    out = _run_packed_rows(t, wqkv, bqkv, wproj, bproj, P=P, C=C,
+                           tile_rows=tile_rows, eps=eps, interpret=interpret)
+    out = out.reshape(B, nh, nw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    return out.reshape(B, H, W, C)
+
+
+def packed_window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
+                               tile_rows: int | None = None,
+                               eps: float = 1e-12,
+                               C: int | None = None,
+                               interpret: bool = False):
+    """v3 kernel on an ALREADY-PACKED tensor (ops/packed.py layout).
+
+    x: (B, Hp, Wp, P*C) with lane order (position, channel) — exactly
+    space_to_depth's (phase_i, phase_j, c) order with P = ws^2 = 16, so one
+    packed pixel is one LocalAttention window and no relayout is needed.
+    wqkv/wproj are the ORIGINAL (C, 3C)/(C, C) matrices (1x1-conv shapes
+    accepted). TPU A/B at batch 96 (shared v5e): 512^2 C=16 49 ms vs 142 ms
+    for the per-phase-matmul kernel; 256^2 C=32 39.5 ms vs 49 ms. For C >= 64
+    the expanded block-diagonal weights outgrow VMEM — use
+    packed_window_attention_pallas there.
+    """
+    wqkv = wqkv.reshape(wqkv.shape[-2], wqkv.shape[-1])
+    wproj = wproj.reshape(wproj.shape[-2], wproj.shape[-1])
+    if C is None:
+        C = wqkv.shape[0]
+    B, Hp, Wp, Cp = x.shape
+    P = Cp // C
+    R = B * Hp * Wp
+    out = _run_packed_rows(x.reshape(R, Cp), wqkv, bqkv, wproj, bproj,
+                           P=P, C=C, tile_rows=tile_rows, eps=eps,
+                           interpret=interpret)
+    return out.reshape(B, Hp, Wp, Cp)

@@ -15,6 +15,8 @@ from multi_style_transfer_gan_tpu.models.enhanced_generator import (
 
 @pytest.fixture
 def interpret_pallas(monkeypatch):
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+
     orig = pl.pallas_call
 
     def interp(*a, **kw):
@@ -22,6 +24,7 @@ def interpret_pallas(monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(wa.pl, "pallas_call", interp)
+    monkeypatch.setattr(wa3.pl, "pallas_call", interp)
 
 
 @pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 32, 32)])
@@ -93,4 +96,39 @@ def test_packed_attention_kernel_matches_reference(rng, interpret_packed_pallas,
         space_to_depth(x, 4), params["qkv.weight"], params["qkv.bias"],
         params["proj.weight"], params["proj.bias"]), 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("C", [8, 16, 32])
+def test_window_attention_v3_matches_reference(rng, C):
+    """v3 (dense block-diagonal packed-row kernel) == reference math.
+
+    Covers both entries: NHWC wrapper and the packed-layout entry used by
+    the packed inference engine; includes all-zero positions to exercise the
+    zero-safe normalize."""
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        local_attention_init,
+    )
+    from multi_style_transfer_gan_tpu.ops.packed import (
+        space_to_depth, depth_to_space,
+    )
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 import (
+        packed_window_attention_v3, window_attention_v3,
+    )
+
+    params = local_attention_init(jax.random.PRNGKey(2), C)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, C)), jnp.float32)
+    x = x.at[0, :4, :4, :].set(0.0)
+    ref = local_attention_apply(params, x, prefix="")
+
+    got = window_attention_v3(
+        x, params["qkv.weight"], params["qkv.bias"],
+        params["proj.weight"], params["proj.bias"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    got_p = depth_to_space(packed_window_attention_v3(
+        space_to_depth(x, 4), params["qkv.weight"], params["qkv.bias"],
+        params["proj.weight"], params["proj.bias"], interpret=True), 4)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
