@@ -57,6 +57,30 @@ def _build_pipeline(fast_attention: bool):
     return params, pipeline
 
 
+def prewarm():
+    """Compile every candidate pipeline into the persistent cache so a later
+    bench run (e.g. the driver's, during a compile-service brownout) never
+    has to fall back below the best variant. Run whenever the service is up:
+    ``python bench.py --prewarm``."""
+    from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.default_rng(0)
+    for bs in (BATCH, 32):
+        probe = jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
+                                            dtype=np.uint8))
+        for fast in (True, False):
+            params, candidate = _build_pipeline(fast)
+            try:
+                t0 = time.perf_counter()
+                _ = np.asarray(candidate(params, probe)[0, :1, :1])
+                print(f"# prewarmed fast={fast} batch={bs} "
+                      f"({time.perf_counter() - t0:.1f}s)", flush=True)
+            except Exception as e:
+                print(f"# prewarm fast={fast} batch={bs} FAILED: "
+                      f"{str(e)[:120]}", flush=True)
+
+
 def main():
     from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
 
@@ -64,30 +88,35 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # The remote compile service 500s transiently under load; try each
-    # (attention-path, batch) candidate a couple of times and step the batch
-    # size down before giving up.
+    # The remote compile service 500s transiently under load — sometimes for
+    # minutes at a stretch. Candidates are ordered best-first; retry in waves
+    # with a sleep between them so a transient outage doesn't silently bench
+    # a slow fallback, and stop as soon as the best candidate of any wave
+    # compiles (cached compiles survive outages, so a warm cache short-
+    # circuits all of this).
+    candidates = [(BATCH, True), (BATCH, False), (32, True), (32, False)]
+    data = {bs: [jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
+                                             dtype=np.uint8))
+                 for _ in range(ITERS)]
+            for bs in {bs for bs, _ in candidates}}
     pipeline, batch_size, params = None, None, None
-    for bs in (BATCH, 32):
-        batches = [jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
-                                               dtype=np.uint8))
-                   for _ in range(ITERS)]
-        for fast in (True, False):
+    for wave in range(4):
+        for bs, fast in candidates:
             params, candidate = _build_pipeline(fast)
-            for attempt in range(2):
-                try:
-                    _ = np.asarray(candidate(params, batches[0])[0, :1, :1])
-                    pipeline, batch_size = candidate, bs
-                    break
-                except Exception as e:
-                    print(f"# fast_attention={fast} batch={bs} try{attempt}: "
-                          f"{str(e)[:120]}", flush=True)
-            if pipeline is not None:
+            try:
+                _ = np.asarray(candidate(params, data[bs][0])[0, :1, :1])
+                pipeline, batch_size = candidate, bs
                 break
-        if pipeline is not None:
+            except Exception as e:
+                print(f"# wave{wave} fast_attention={fast} batch={bs}: "
+                      f"{str(e)[:120]}", flush=True)
+        if pipeline is not None and (bs, fast) == candidates[0]:
             break
+        if wave < 3:
+            time.sleep(45)  # let the compile service recover, then re-probe
     if pipeline is None:
         raise SystemExit("no pipeline compiled")
+    batches = data[batch_size]
 
     # The deployment TPU is time-shared and its delivered throughput swings
     # several-fold between moments; min over several rounds reports the
@@ -115,4 +144,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--prewarm" in sys.argv:
+        prewarm()
+    else:
+        main()
