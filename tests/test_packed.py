@@ -137,3 +137,38 @@ def test_packed_full_forward_parity(rng):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_packed_full_forward_fast_attention(rng, monkeypatch):
+    """Packed forward with fast_attention=True (Pallas kernels, interpret
+    mode) == the einsum packed forward, exercising BOTH kernel dispatches:
+    channels=16 puts down1/up1/up2 attention on the v3 packed-row kernel
+    (C in {16, 32}) and down2 on the per-phase kernel (C=64)."""
+    from jax.experimental import pallas as pl
+
+    import multi_style_transfer_gan_tpu.ops.pallas.packed_attention as pa
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+    from multi_style_transfer_gan_tpu.models import (
+        enhanced_generator_init,
+    )
+    from multi_style_transfer_gan_tpu.models.packed_generator import (
+        pack_enhanced_generator_params, packed_enhanced_generator_apply,
+    )
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pa.pl, "pallas_call", interp)
+    monkeypatch.setattr(wa3.pl, "pallas_call", interp)
+
+    params = enhanced_generator_init(jax.random.PRNGKey(4), channels=16,
+                                     num_transformer_blocks=1)
+    x = jnp.asarray(np.tanh(rng.standard_normal((1, 64, 64, 3))), jnp.float32)
+    packed = pack_enhanced_generator_params(params)
+    ref = packed_enhanced_generator_apply(packed, x)
+    got = packed_enhanced_generator_apply(packed, x, fast_attention=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
