@@ -33,8 +33,10 @@ The only HBM traffic is one read of x and one write of the result; all the
 them VMEM-resident across grid steps. For C=16 the expanded weights total
 <1 MB bf16.
 
-Callers go through `window_attention_v3`, which takes NHWC input and does
-the s2d/d2s relayout in XLA (fuses with neighbors). Numerics match
+Two entry points: `window_attention_v3` takes NHWC input and does the
+s2d/d2s relayout in XLA (fuses with neighbors); `packed_window_attention_v3`
+takes an already-packed tensor (ops/packed.py layout — the packed inference
+engine calls this, no relayout at all). Numerics match
 `local_attention_apply` (fp32 normalize/softmax/accumulation).
 """
 
