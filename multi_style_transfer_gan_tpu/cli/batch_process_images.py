@@ -33,7 +33,10 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 generator compute (TPU fast path)")
     p.add_argument("--fast_attention", action="store_true",
-                   help="fused Pallas window-attention kernel")
+                   help="fused Pallas window-attention kernels")
+    p.add_argument("--engine", choices=["nhwc", "packed"], default="nhwc",
+                   help="generator execution layout: packed = space-to-depth"
+                        " lane-dense forward (enhanced models)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all devices (jax.sharding mesh)")
     args = p.parse_args(argv)
@@ -77,7 +80,8 @@ def main(argv=None):
                   detail=args.detail, enhance_colors=args.enhance_colors,
                   smooth=args.smooth, batch_size=args.batch_size,
                   compute_dtype=jnp.bfloat16 if args.bf16 else None,
-                  fast_attention=args.fast_attention, mesh=mesh)
+                  fast_attention=args.fast_attention, mesh=mesh,
+                  engine=args.engine)
     return 0
 
 

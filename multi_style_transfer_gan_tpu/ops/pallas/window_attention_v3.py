@@ -25,8 +25,8 @@ lane-dense for C >= 8 and T can be hundreds. The per-window math becomes:
           (C, C*C) matmuls (pltpu.repeat miscompiles for C < 128).
   smax  : exp (safe: logits are sums of P unit dots, |logit| <= P), group
           denominator via a 0/1 (C*C, C) matmul, divide.
-  out   : o_p = (attn * tile(v_p)) @ Msum per position, concat; ONE dense
-          block-diagonal (P*C, P*C) projection matmul.
+  out   : o_p = (attn * tile(v_p)) @ (Msum @ Wproj) per position, concat —
+          the output projection rides the group-reduction matmul for free.
 
 The only HBM traffic is one read of x and one write of the result; all the
 0/1 matrices and expanded weights have constant index maps so Mosaic keeps
@@ -50,9 +50,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-            mpos_ref, mpos_t_ref, brep_ref, btile_ref, msum_ref, o_ref,
-            *, P: int, C: int, eps: float):
+def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
+            mpos_ref, mpos_t_ref, brep_ref, btile_ref, msum_ref,
+            msumproj_ref, o_ref, *, P: int, C: int, eps: float):
     x = x_ref[:]  # (T, P*C) packed rows, position-major lanes
     qkv = jnp.dot(x, wqkv_ref[:].astype(x.dtype),
                   preferred_element_type=jnp.float32)
@@ -91,15 +91,18 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     den = jnp.dot(e, msum_ref[:], preferred_element_type=jnp.float32)
     attn = e * _rep(1.0 / den)
 
+    # the per-window output projection is FOLDED into the group reduction:
+    # proj(o)_[p,c] = sum_c1 o_p[c1] Wproj[c1,c] and o_p = (attn*tile(v_p))
+    # @ msum, so one matmul against msumproj = msum @ Wproj does both — this
+    # deletes the 16x-redundant (T, P*C) x (P*C, P*C) block-diagonal proj
+    # matmul entirely (and keeps fp32 through the combined contraction).
     outs = []
     for p in range(P):
-        o_p = jnp.dot(attn * _tile(v[:, p * C:(p + 1) * C]), msum_ref[:],
+        o_p = jnp.dot(attn * _tile(v[:, p * C:(p + 1) * C]), msumproj_ref[:],
                       preferred_element_type=jnp.float32)     # (T, C)
-        outs.append(o_p.astype(x.dtype))
+        outs.append(o_p)
     out = jnp.concatenate(outs, axis=-1)                      # (T, P*C)
-    proj = jnp.dot(out, wproj_ref[:].astype(x.dtype),
-                   preferred_element_type=jnp.float32)
-    o_ref[:] = (proj + bproj_ref[:]).astype(o_ref.dtype)
+    o_ref[:] = (out + bproj_ref[:]).astype(o_ref.dtype)
 
 
 def _expand_weights(wqkv, bqkv, wproj, bproj, P: int, C: int):
@@ -114,7 +117,6 @@ def _expand_weights(wqkv, bqkv, wproj, bproj, P: int, C: int):
     bqkv_big = jnp.concatenate(
         [jnp.tile(bqkv.astype(jnp.float32)[s * C:(s + 1) * C], P)
          for s in range(3)])
-    wproj_big = jnp.einsum("pq,cd->pcqd", eye_p, wproj).reshape(P * C, P * C)
     bproj_big = jnp.tile(bproj.astype(jnp.float32), P)
 
     mpos = jnp.repeat(jnp.eye(P, dtype=jnp.float32), C, axis=0)  # (P*C, P)
@@ -122,8 +124,9 @@ def _expand_weights(wqkv, bqkv, wproj, bproj, P: int, C: int):
     brep = jnp.repeat(jnp.eye(C, dtype=jnp.float32), C, axis=1)  # (C, C*C)
     btile = jnp.tile(jnp.eye(C, dtype=jnp.float32), (1, C))      # (C, C*C)
     msum = jnp.repeat(jnp.eye(C, dtype=jnp.float32), C, axis=0)  # (C*C, C)
-    return (wqkv_big, bqkv_big, wproj_big, bproj_big,
-            mpos, mpos_t, brep, btile, msum)
+    msumproj = jnp.dot(msum, wproj)                              # (C*C, C)
+    return (wqkv_big, bqkv_big, bproj_big,
+            mpos, mpos_t, brep, btile, msum, msumproj)
 
 
 def _run_packed_rows(t, wqkv, bqkv, wproj, bproj, *, P: int, C: int,
@@ -149,12 +152,12 @@ def _run_packed_rows(t, wqkv, bqkv, wproj, bproj, *, P: int, C: int,
                          memory_space=pltpu.VMEM),
             const((P * C, 3 * P * C)),
             const((3 * P * C,)),
-            const((P * C, P * C)),
             const((P * C,)),
             const((P * C, P)),
             const((P, P * C)),
             const((C, C * C)),
             const((C, C * C)),
+            const((C * C, C)),
             const((C * C, C)),
         ],
         out_specs=pl.BlockSpec((T, P * C), lambda i: (i, 0),

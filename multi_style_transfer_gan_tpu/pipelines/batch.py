@@ -139,13 +139,17 @@ def _postprocess(canvas_u8f, styled_u8f, mode, strength, detail,
 
 def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
                   strength: float, detail: float, enhance_colors: bool,
-                  smooth: bool, *, compute_dtype=None, fast_attention=False):
+                  smooth: bool, *, compute_dtype=None, fast_attention=False,
+                  engine: str = "nhwc"):
     """Build the single jitted uint8->uint8 program for this configuration.
 
     compute_dtype: generator activation dtype; jnp.bfloat16 is the TPU fast
     path (~2x on the MXU; the classical-CV post chain stays fp32 either way).
-    fast_attention: use the fused Pallas window-attention kernel (enhanced
+    fast_attention: use the fused Pallas window-attention kernels (enhanced
     models only; falls back automatically if it fails to compile).
+    engine: 'nhwc' (default) or 'packed' — the space-to-depth lane-dense
+    forward (models/packed_generator.py; enhanced models only, canvas
+    divisible by 32, exact same math).
     """
 
     def run(params, batch_u8):
@@ -164,8 +168,17 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
 
     from ..models import plain_generator_apply, enhanced_generator_apply
 
+    run_params = model.params
     if model.kind == "plain":
         model_forward = plain_generator_apply
+    elif engine == "packed":
+        from ..models.packed_generator import (
+            pack_enhanced_generator_params, packed_enhanced_generator_apply,
+        )
+
+        run_params = pack_enhanced_generator_params(model.params)
+        model_forward = partial(packed_enhanced_generator_apply,
+                                fast_attention=fast_attention)
     elif fast_attention:
         model_forward = partial(enhanced_generator_apply,
                                 fast_attention=True)
@@ -174,7 +187,7 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
     # partial OUTSIDE jit: params must stay a runtime argument — closing
     # them in would bake every weight into the program as constants and
     # blow up compile time/memory.
-    return partial(jax.jit(run), model.params)
+    return partial(jax.jit(run), run_params)
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +200,8 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                   detail: float = 0.7, enhance_colors: bool = True,
                   smooth: bool = True, batch_size: int = 64,
                   decode_workers: int = 8, compute_dtype=None,
-                  fast_attention: bool = False, mesh=None) -> dict:
+                  fast_attention: bool = False, mesh=None,
+                  engine: str = "nhwc") -> dict:
     """Process every image in ``input_dir``; returns a stats dict.
 
     Output layout matches the reference: ``{out}/cyclegan_{direction}/name``
@@ -196,6 +210,8 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — batches are
     sharded across it (params replicate; one jitted program serves any mesh
     size, so a v5e-8 processes 8 shards per dispatch over ICI).
+    engine: 'nhwc' | 'packed' (see make_batch_fn); 'packed' applies to
+    enhanced models only and falls back to 'nhwc' if its compile fails.
     """
     files = list_images(input_dir)
     if not files:
@@ -222,24 +238,32 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         local_batch_size(batch_size, mesh)  # validates divisibility
         batch_sharding = data_sharding(mesh, 4)
 
-    run_fn = make_batch_fn(model, mode, local_style_mode, strength, detail,
-                           enhance_colors, smooth,
-                           compute_dtype=compute_dtype,
-                           fast_attention=fast_attention)
+    if engine == "packed" and model.kind != "enhanced":
+        engine = "nhwc"
+    # Build/probe candidate programs best-first; the remote compile service
+    # fails sporadically, so degrade (packed -> nhwc, fast -> XLA attention)
+    # rather than crash mid-run. The probe costs one compile that the real
+    # run reuses (persistent cache + same shapes).
+    configs = [(engine, fast_attention)]
+    if engine == "packed":
+        configs.append(("nhwc", fast_attention))
     if fast_attention:
-        # The fused Pallas kernel's remote compile fails sporadically on
-        # some deployments; probe it once and fall back to the XLA
-        # attention formulation (same math) rather than crash mid-run.
+        configs.append(("nhwc", False))
+    run_fn = None
+    for i, (eng, fast) in enumerate(configs):
+        run_fn = make_batch_fn(model, mode, local_style_mode, strength,
+                               detail, enhance_colors, smooth,
+                               compute_dtype=compute_dtype,
+                               fast_attention=fast, engine=eng)
+        if i == len(configs) - 1:
+            break  # last resort: let a real failure surface in the run
         try:
             probe = np.zeros((batch_size, CANVAS, CANVAS, 3), np.uint8)
             _ = np.asarray(run_fn(jax.device_put(probe))[0, :1, :1])
+            break
         except Exception as e:
-            print(f"fast_attention unavailable ({str(e)[:80]}); "
-                  "falling back to XLA attention")
-            run_fn = make_batch_fn(model, mode, local_style_mode, strength,
-                                   detail, enhance_colors, smooth,
-                                   compute_dtype=compute_dtype,
-                                   fast_attention=False)
+            print(f"engine={eng} fast_attention={fast} unavailable "
+                  f"({str(e)[:80]}); falling back")
 
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
     save_pool = ThreadPoolExecutor(max_workers=decode_workers)

@@ -169,3 +169,24 @@ def test_batch_data_parallel_mesh(small_ckpts, image_dir, tmp_path):
     assert stats["processed"] == 3
     out = tmp_path / "cyclegan_photo2monet"
     assert len(os.listdir(out)) == 3
+
+
+def test_batch_packed_engine_matches_nhwc(small_ckpts, image_dir, tmp_path):
+    """engine='packed' (space-to-depth forward) produces the same files and
+    near-identical uint8 pixels as the default NHWC engine."""
+    model = load_generator(small_ckpts / "G_AB_epoch_200.pth")
+    a = batch_process(model, image_dir, tmp_path / "nhwc", mode="local_style",
+                      local_style_mode="simple", direction="monet2photo",
+                      batch_size=2)
+    b = batch_process(model, image_dir, tmp_path / "packed",
+                      mode="local_style", local_style_mode="simple",
+                      direction="monet2photo", batch_size=2, engine="packed")
+    assert a["processed"] == b["processed"] == 3
+    for name in os.listdir(tmp_path / "nhwc" / "local_style_simple_monet2photo"):
+        ia = np.asarray(Image.open(
+            tmp_path / "nhwc" / "local_style_simple_monet2photo" / name),
+            dtype=np.int16)
+        ib = np.asarray(Image.open(
+            tmp_path / "packed" / "local_style_simple_monet2photo" / name),
+            dtype=np.int16)
+        assert np.abs(ia - ib).max() <= 2  # fp reassociation only
