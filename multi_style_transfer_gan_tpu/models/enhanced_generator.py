@@ -66,13 +66,13 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
     if fast:
         # fused Pallas kernels: same math, one VMEM-resident pass instead of
         # qkv/attn/proj HBM round trips. Two kernels by channel width: the
-        # wide full-resolution stages (C <= 32) use the dense block-diagonal
-        # packed-row kernel (v3 — 2.9x over v1 at 512^2 C=16, where lane
-        # sparsity starves v1); wider C keeps the per-window v1 kernel (v3's
-        # flattened C*C lanes and expanded weights grow quadratically). MXU
-        # passes may run bf16, so the parity-critical 'highest' path keeps
-        # the XLA formulation below.
-        if C <= 32 and ws == 4:
+        # full-resolution C=16 stage uses the dense block-diagonal
+        # packed-row kernel (v3 — 2.3x over v1 at 512^2 C=16, where lane
+        # sparsity starves v1); wider C keeps the per-window v1 kernel
+        # (measured faster from C=32 up — v3's flattened C*C lanes grow
+        # quadratically). MXU passes may run bf16, so the parity-critical
+        # 'highest' path keeps the XLA formulation below.
+        if C <= 16 and ws == 4:
             from ..ops.pallas.window_attention_v3 import window_attention_v3
 
             return window_attention_v3(

@@ -113,9 +113,12 @@ def _attention(p, x, prefix, fast=False):
         # fused Pallas kernels on the packed layout (no lane-padded
         # intermediates); math identical to the einsum path below. Two
         # kernels by channel width: C <= 32 uses the dense block-diagonal
-        # v3 (one MXU matmul per tile for qkv/proj — 2.9x faster at 512^2
-        # C=16); C >= 64 keeps the per-phase-matmul kernel (v3's expanded
-        # weights would outgrow VMEM quadratically).
+        # v3 (one MXU matmul per tile for qkv — 2.3x faster at 512^2 C=16;
+        # at C=32 it's the best packed-native option even though the NHWC
+        # v1 kernel edges it out, since leaving the packed layout would
+        # cost the relayout v3 exists to avoid); C >= 64 keeps the
+        # per-phase-matmul kernel (v3's expanded weights would outgrow
+        # VMEM quadratically).
         wqkv = p[f"{prefix}qkv.weight"]
         C = wqkv.shape[-2]
         if C <= 32:

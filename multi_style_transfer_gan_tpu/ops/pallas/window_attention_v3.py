@@ -21,8 +21,9 @@ lane-dense for C >= 8 and T can be hundreds. The per-window math becomes:
           transpose (matches the reference's zero-safe F.normalize).
   logits: attention matrix FLATTENED to C*C lanes (c1-major):
           logits += rep(qn_p) * tile(kn_p) per position — P VPU
-          multiply-adds on (T, C*C); rep and tile are both 0/1
-          (C, C*C) matmuls (pltpu.repeat miscompiles for C < 128).
+          multiply-adds on (T, C*C); rep and tile are 0/1 matmuls
+          (see the in-kernel note for why the cheaper-looking
+          alternatives don't work on real Mosaic).
   smax  : exp (safe: logits are sums of P unit dots, |logit| <= P), group
           denominator via a 0/1 (C*C, C) matmul, divide.
   out   : o_p = (attn * tile(v_p)) @ (Msum @ Wproj) per position, concat —
@@ -74,13 +75,20 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
     qn = _norm(q)
     kn = _norm(k)
 
+    # Lane broadcasts between (T, C) and (T, C*C), c1-major — 0/1 matmuls.
+    # Implementation notes from real-hardware A/Bs (interpret mode passes
+    # all three candidates, only this one is also correct AND compiles):
+    # - pltpu.repeat on sub-128-lane blocks MISCOMPILES on Mosaic (whole-
+    #   model output off by ~1e0) — never use it here;
+    # - broadcast-to-3D + reshape fails to compile ("infer-vector-layout:
+    #   unsupported shape cast" on (T, C, C) -> (T, C*C));
+    # - these K=C contractions are MXU-starved (~13 ms/forward at C=16),
+    #   and fusing positions doesn't help: padding K with zeros costs
+    #   exactly the utilization it buys. This bounds v3 to C <= 16 wins.
     def _rep(u):   # (T, C) -> (T, C*C): lane c1*C+c2 = u[:, c1]
         return jnp.dot(u, brep_ref[:], preferred_element_type=jnp.float32)
 
     def _tile(u):  # (T, C) -> (T, C*C): lane c1*C+c2 = u[:, c2]
-        # 0/1 matmul, NOT pltpu.repeat: repeat on a (T, C) block with C < 128
-        # (sub-lane-tile) miscompiles on real Mosaic (interpret mode is fine)
-        # — the whole-model output was off by ~1e0 until this was a matmul.
         return jnp.dot(u, btile_ref[:], preferred_element_type=jnp.float32)
 
     logits = _rep(qn[:, :C]) * _tile(kn[:, :C])
@@ -95,14 +103,15 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
     # proj(o)_[p,c] = sum_c1 o_p[c1] Wproj[c1,c] and o_p = (attn*tile(v_p))
     # @ msum, so one matmul against msumproj = msum @ Wproj does both — this
     # deletes the 16x-redundant (T, P*C) x (P*C, P*C) block-diagonal proj
-    # matmul entirely (and keeps fp32 through the combined contraction).
+    # matmul entirely. Bias is added per position in fp32 and each piece is
+    # cast before the concat: concatenating P fp32 (T, C) pieces measured
+    # ~25% slower than bf16 pieces (register/relayout pressure).
     outs = []
     for p in range(P):
         o_p = jnp.dot(attn * _tile(v[:, p * C:(p + 1) * C]), msumproj_ref[:],
                       preferred_element_type=jnp.float32)     # (T, C)
-        outs.append(o_p)
-    out = jnp.concatenate(outs, axis=-1)                      # (T, P*C)
-    o_ref[:] = (out + bproj_ref[:]).astype(o_ref.dtype)
+        outs.append((o_p + bproj_ref[p * C:(p + 1) * C]).astype(o_ref.dtype))
+    o_ref[:] = jnp.concatenate(outs, axis=-1)                 # (T, P*C)
 
 
 def _expand_weights(wqkv, bqkv, wproj, bproj, P: int, C: int):
@@ -176,8 +185,10 @@ def window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
     """Drop-in for local_attention_apply's math; NHWC in/out.
 
     x: (B, H, W, C) with H, W divisible by window_size. Designed for the
-    small-C full-resolution stages (C <= 32); for larger C the flattened
-    C*C lane dim grows quadratically and v1 wins.
+    small-C full-resolution stages (C <= 16, where v1's lane sparsity is
+    worst); for larger C the flattened C*C lane dim grows quadratically
+    and v1 wins (TPU A/B at batch 96: C=16 512^2 62 ms vs v1's 143 ms;
+    C=32 256^2 57 ms vs v1's 51 ms).
     """
     B, H, W, C = x.shape
     ws = window_size
@@ -205,10 +216,10 @@ def packed_window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
     space_to_depth's (phase_i, phase_j, c) order with P = ws^2 = 16, so one
     packed pixel is one LocalAttention window and no relayout is needed.
     wqkv/wproj are the ORIGINAL (C, 3C)/(C, C) matrices (1x1-conv shapes
-    accepted). TPU A/B at batch 96 (shared v5e): 512^2 C=16 49 ms vs 142 ms
-    for the per-phase-matmul kernel; 256^2 C=32 39.5 ms vs 49 ms. For C >= 64
-    the expanded block-diagonal weights outgrow VMEM — use
-    packed_window_attention_pallas there.
+    accepted). TPU A/B at batch 96 (shared v5e): 512^2 C=16 62 ms vs 143 ms
+    for the per-window kernel; at C >= 32 the flattened-lane overhead loses
+    to the per-window formulation, and for C >= 64 the expanded
+    block-diagonal weights outgrow VMEM — dispatchers use this for C <= 16.
     """
     wqkv = wqkv.reshape(wqkv.shape[-2], wqkv.shape[-1])
     wproj = wproj.reshape(wproj.shape[-2], wproj.shape[-1])
