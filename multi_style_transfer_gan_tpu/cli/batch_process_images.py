@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--engine", choices=["nhwc", "packed"], default="nhwc",
                    help="generator execution layout: packed = space-to-depth"
                         " lane-dense forward (enhanced models)")
+    p.add_argument("--canvas", type=int, default=256,
+                   help="working resolution (multiple of 32; the reference"
+                        " fixes 256. 512 = higher fidelity, ~4x compute)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all devices (jax.sharding mesh)")
     args = p.parse_args(argv)
@@ -81,7 +84,7 @@ def main(argv=None):
                   smooth=args.smooth, batch_size=args.batch_size,
                   compute_dtype=jnp.bfloat16 if args.bf16 else None,
                   fast_attention=args.fast_attention, mesh=mesh,
-                  engine=args.engine)
+                  engine=args.engine, canvas=args.canvas)
     return 0
 
 

@@ -201,7 +201,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                   smooth: bool = True, batch_size: int = 64,
                   decode_workers: int = 8, compute_dtype=None,
                   fast_attention: bool = False, mesh=None,
-                  engine: str = "nhwc") -> dict:
+                  engine: str = "nhwc", canvas: int = CANVAS) -> dict:
     """Process every image in ``input_dir``; returns a stats dict.
 
     Output layout matches the reference: ``{out}/cyclegan_{direction}/name``
@@ -212,7 +212,12 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     size, so a v5e-8 processes 8 shards per dispatch over ICI).
     engine: 'nhwc' | 'packed' (see make_batch_fn); 'packed' applies to
     enhanced models only and falls back to 'nhwc' if its compile fails.
+    canvas: working resolution (the reference fixes 256 —
+    batch_process_images.py:186-200; any multiple of 32 works here, e.g.
+    512 for higher-fidelity output at the cost of ~4x compute).
     """
+    if canvas % 32:
+        raise ValueError(f"canvas must be a multiple of 32, got {canvas}")
     files = list_images(input_dir)
     if not files:
         print(f"error: no images found in {input_dir}")
@@ -258,7 +263,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         if i == len(configs) - 1:
             break  # last resort: let a real failure surface in the run
         try:
-            probe = np.zeros((batch_size, CANVAS, CANVAS, 3), np.uint8)
+            probe = np.zeros((batch_size, canvas, canvas, 3), np.uint8)
             _ = np.asarray(run_fn(jax.device_put(probe))[0, :1, :1])
             break
         except Exception as e:
@@ -281,7 +286,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
 
     def _decode_safe(path):
         try:
-            return _decode_canvas(path)
+            return _decode_canvas(path, canvas)
         except Exception as e:  # skip unreadable files like the reference
             print(f"error processing image {path}: {e}")
             return None
@@ -292,7 +297,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
             chunk = files[i:i + batch_size]
             if use_native:
                 arr, sizes, ok = decode_canvas_batch(
-                    chunk, CANVAS, 255, num_threads=decode_workers)
+                    chunk, canvas, 255, num_threads=decode_workers)
                 if not ok.all():
                     n_failed += int((~ok).sum())
                     keep = np.where(ok)[0]
@@ -330,7 +335,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         for j, (f, wh) in enumerate(zip(chunk, sizes)):
             out_path = os.path.join(out_dir, os.path.basename(f))
             saves.append(save_pool.submit(_restore_and_save, host[j], wh,
-                                          out_path))
+                                          out_path, canvas))
             n_done += 1
 
     for chunk, sizes, dev_batch in batches():

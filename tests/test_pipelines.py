@@ -190,3 +190,18 @@ def test_batch_packed_engine_matches_nhwc(small_ckpts, image_dir, tmp_path):
             tmp_path / "packed" / "local_style_simple_monet2photo" / name),
             dtype=np.int16)
         assert np.abs(ia - ib).max() <= 2  # fp reassociation only
+
+
+def test_batch_custom_canvas(small_ckpts, image_dir, tmp_path):
+    """--canvas 64: outputs land at original sizes regardless of canvas."""
+    model = load_generator(small_ckpts / "cyclegan_epoch_200.pth",
+                           prefer="G_AB_state_dict")
+    stats = batch_process(model, image_dir, tmp_path, mode="cyclegan",
+                          direction="monet2photo", batch_size=2, canvas=64)
+    assert stats["processed"] == 3
+    im = Image.open(tmp_path / "cyclegan_monet2photo" / "img_0.png")
+    assert im.size == (120, 80)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        batch_process(model, image_dir, tmp_path, mode="cyclegan",
+                      direction="monet2photo", canvas=100)
