@@ -145,7 +145,10 @@ def _run_packed_rows(t, wqkv, bqkv, wproj, bproj, *, P: int, C: int,
     expanded = _expand_weights(wqkv, bqkv, wproj, bproj, P, C)
 
     if tile_rows is None:
-        tile_rows = 512 if C <= 16 else 256
+        # T=512 fastest at C=16 (62.2 vs 63.5 ms at T=256); C=32 tiles are
+        # 4x bigger per row and T=256 exceeds VMEM (Mosaic rejects the
+        # compile) — T=128 is the largest that builds.
+        tile_rows = 512 if C <= 16 else 128
     T = min(tile_rows, R)
     while R % T:
         T //= 2
