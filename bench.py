@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 
 SIZE = 512
-BATCH = 96  # batch-size sweep: 121 img/s @16, 175 @32, 231 @64, 261 @96;
-            # >=128 fails remote compile on this deployment
+BATCH = 128  # batch-size sweep (v3 kernels): 127 img/s @16, 228 @32,
+             # 237 @64, 339 @96, 364 @128; 128 is the largest that compiles
 ITERS = 6
 BASELINE_PER_CHIP = 1000.0 / 8.0
 
@@ -94,7 +94,8 @@ def main():
     # a slow fallback, and stop as soon as the best candidate of any wave
     # compiles (cached compiles survive outages, so a warm cache short-
     # circuits all of this).
-    candidates = [(BATCH, True), (BATCH, False), (32, True), (32, False)]
+    candidates = [(BATCH, True), (96, True), (96, False), (32, True),
+                  (32, False)]
     data = {bs: [jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
                                              dtype=np.uint8))
                  for _ in range(ITERS)]
