@@ -34,6 +34,9 @@ BATCH = 128  # batch-size sweep (v3 kernels): 127 img/s @16, 228 @32,
              # 237 @64, 339 @96, 364 @128; 128 is the largest that compiles
 ITERS = 6
 BASELINE_PER_CHIP = 1000.0 / 8.0
+# (batch, fast_attention), best first — shared by main() and prewarm()
+CANDIDATES = [(BATCH, True), (96, True), (96, False), (32, True),
+              (32, False)]
 
 
 def _build_pipeline(fast_attention: bool):
@@ -66,19 +69,18 @@ def prewarm():
 
     enable_compilation_cache()
     rng = np.random.default_rng(0)
-    for bs in (BATCH, 32):
+    for bs, fast in CANDIDATES:
         probe = jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
                                             dtype=np.uint8))
-        for fast in (True, False):
-            params, candidate = _build_pipeline(fast)
-            try:
-                t0 = time.perf_counter()
-                _ = np.asarray(candidate(params, probe)[0, :1, :1])
-                print(f"# prewarmed fast={fast} batch={bs} "
-                      f"({time.perf_counter() - t0:.1f}s)", flush=True)
-            except Exception as e:
-                print(f"# prewarm fast={fast} batch={bs} FAILED: "
-                      f"{str(e)[:120]}", flush=True)
+        params, candidate = _build_pipeline(fast)
+        try:
+            t0 = time.perf_counter()
+            _ = np.asarray(candidate(params, probe)[0, :1, :1])
+            print(f"# prewarmed fast={fast} batch={bs} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"# prewarm fast={fast} batch={bs} FAILED: "
+                  f"{str(e)[:120]}", flush=True)
 
 
 def main():
@@ -94,30 +96,41 @@ def main():
     # a slow fallback, and stop as soon as the best candidate of any wave
     # compiles (cached compiles survive outages, so a warm cache short-
     # circuits all of this).
-    candidates = [(BATCH, True), (96, True), (96, False), (32, True),
-                  (32, False)]
-    data = {bs: [jax.device_put(rng.integers(0, 256, (bs, SIZE, SIZE, 3),
-                                             dtype=np.uint8))
-                 for _ in range(ITERS)]
-            for bs in {bs for bs, _ in candidates}}
-    pipeline, batch_size, params = None, None, None
+    data = {}  # bs -> ITERS device batches, allocated on first probe
+
+    def batches_for(bs):
+        if bs not in data:
+            data[bs] = [jax.device_put(rng.integers(
+                0, 256, (bs, SIZE, SIZE, 3), dtype=np.uint8))
+                for _ in range(ITERS)]
+        return data[bs]
+
+    # best = lowest candidate index that has compiled so far; a later wave
+    # can only upgrade it (retrying transient failures must never downgrade
+    # an already-compiled better candidate).
+    pipeline, batch_size, params, best_i = None, None, None, len(CANDIDATES)
     for wave in range(4):
-        for bs, fast in candidates:
-            params, candidate = _build_pipeline(fast)
+        for i, (bs, fast) in enumerate(CANDIDATES):
+            if i >= best_i:
+                break
+            p, candidate = _build_pipeline(fast)
             try:
-                _ = np.asarray(candidate(params, data[bs][0])[0, :1, :1])
-                pipeline, batch_size = candidate, bs
+                _ = np.asarray(candidate(p, batches_for(bs)[0])[0, :1, :1])
+                pipeline, batch_size, params, best_i = candidate, bs, p, i
                 break
             except Exception as e:
                 print(f"# wave{wave} fast_attention={fast} batch={bs}: "
                       f"{str(e)[:120]}", flush=True)
-        if pipeline is not None and (bs, fast) == candidates[0]:
+        if best_i == 0:
             break
         if wave < 3:
             time.sleep(45)  # let the compile service recover, then re-probe
     if pipeline is None:
         raise SystemExit("no pipeline compiled")
-    batches = data[batch_size]
+    batches = batches_for(batch_size)
+    for bs in list(data):
+        if bs != batch_size:
+            del data[bs]  # free the losing candidates' device buffers
 
     # The deployment TPU is time-shared and its delivered throughput swings
     # several-fold between moments; min over several rounds reports the

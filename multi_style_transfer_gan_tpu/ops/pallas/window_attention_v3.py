@@ -220,9 +220,11 @@ def packed_window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
     packed pixel is one LocalAttention window and no relayout is needed.
     wqkv/wproj are the ORIGINAL (C, 3C)/(C, C) matrices (1x1-conv shapes
     accepted). TPU A/B at batch 96 (shared v5e): 512^2 C=16 62 ms vs 143 ms
-    for the per-window kernel; at C >= 32 the flattened-lane overhead loses
-    to the per-window formulation, and for C >= 64 the expanded
-    block-diagonal weights outgrow VMEM — dispatchers use this for C <= 16.
+    for the per-window kernel; at C = 32 the NHWC v1 kernel edges it out
+    (51 vs 57 ms) and for C >= 64 the expanded block-diagonal weights
+    outgrow VMEM. Dispatch: the NHWC fast path uses this for C <= 16 only;
+    the packed engine uses it through C = 32, where leaving the packed
+    layout for v1 would cost the relayout this kernel exists to avoid.
     """
     wqkv = wqkv.reshape(wqkv.shape[-2], wqkv.shape[-1])
     wproj = wproj.reshape(wproj.shape[-2], wproj.shape[-1])

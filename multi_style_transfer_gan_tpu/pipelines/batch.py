@@ -247,8 +247,10 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         engine = "nhwc"
     # Build/probe candidate programs best-first; the remote compile service
     # fails sporadically, so degrade (packed -> nhwc, fast -> XLA attention)
-    # rather than crash mid-run. The probe costs one compile that the real
-    # run reuses (persistent cache + same shapes).
+    # rather than crash mid-run. Build is inside the try too: the packed
+    # engine's weight repack is itself a jitted (remotely compiled) program.
+    # The probe input gets the run's exact sharding so the probe compile IS
+    # the run compile (persistent cache + same program).
     configs = [(engine, fast_attention)]
     if engine == "packed":
         configs.append(("nhwc", fast_attention))
@@ -256,17 +258,22 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         configs.append(("nhwc", False))
     run_fn = None
     for i, (eng, fast) in enumerate(configs):
-        run_fn = make_batch_fn(model, mode, local_style_mode, strength,
-                               detail, enhance_colors, smooth,
-                               compute_dtype=compute_dtype,
-                               fast_attention=fast, engine=eng)
-        if i == len(configs) - 1:
-            break  # last resort: let a real failure surface in the run
+        last = i == len(configs) - 1
         try:
+            run_fn = make_batch_fn(model, mode, local_style_mode, strength,
+                                   detail, enhance_colors, smooth,
+                                   compute_dtype=compute_dtype,
+                                   fast_attention=fast, engine=eng)
+            if last:
+                break  # last resort: let a real failure surface in the run
             probe = np.zeros((batch_size, canvas, canvas, 3), np.uint8)
-            _ = np.asarray(run_fn(jax.device_put(probe))[0, :1, :1])
+            probe = jax.device_put(
+                probe, batch_sharding if mesh is not None else None)
+            _ = np.asarray(run_fn(probe)[0, :1, :1])
             break
         except Exception as e:
+            if last:
+                raise
             print(f"engine={eng} fast_attention={fast} unavailable "
                   f"({str(e)[:80]}); falling back")
 
