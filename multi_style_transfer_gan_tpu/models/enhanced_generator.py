@@ -275,7 +275,8 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
     for i in range(num_transformer_blocks_of(params)):
         block = ckpt(partial(structural_transformer_apply,
                              grid_hw=(H, W),
-                             prefix=f"transformer_blocks.{i}."))
+                             prefix=f"transformer_blocks.{i}.",
+                             fast=fast_attention))
         tokens = block(params, tokens, style, orig)
     h = tokens.reshape(B, H, W, C)
 

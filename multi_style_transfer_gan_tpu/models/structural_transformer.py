@@ -129,7 +129,8 @@ def _window_attention(tokens, grid_hw, qkv_w, qkv_b, proj_w, proj_b,
 
 
 def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
-                                 *, prefix: str = "", window: int = 8):
+                                 *, prefix: str = "", window: int = 8,
+                                 fast: bool = False):
     """Apply one block.
 
     Args:
@@ -138,6 +139,9 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
       style: (B, dim) style vector.
       orig_image: (B, H0, W0, 3) network input in [-1, 1] (NHWC).
       grid_hw: static (H, W) of the token grid.
+      fast: use the fused Pallas block body (ops/pallas/fused_transformer.py)
+        when the grid divides the window — inference only (no custom VJP);
+        the structure/style conditioning stays in XLA either way.
     """
     g = lambda name: params[f"{prefix}{name}"]
     B, N, C = tokens.shape
@@ -158,6 +162,22 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
     # Style FiLM on the pre-attention norm (identity at init).
     mod = linear(style, g("style_mod.weight"), g("style_mod.bias"))  # (B, 2C)
     gamma, beta = jnp.split(mod, 2, axis=-1)
+
+    if fast and H % window == 0 and W % window == 0:
+        from ..ops.pallas.fused_transformer import fused_structural_block
+
+        out = fused_structural_block(
+            tokens.reshape(B, H, W, C), struct_tokens.reshape(B, H, W, C),
+            gamma, beta,
+            norm1_w=g("norm1.weight"), norm1_b=g("norm1.bias"),
+            qkv_w=g("attn.qkv.weight"), qkv_b=g("attn.qkv.bias"),
+            proj_w=g("attn.proj.weight"), proj_b=g("attn.proj.bias"),
+            norm2_w=g("norm2.weight"), norm2_b=g("norm2.bias"),
+            fc1_w=g("mlp.fc1.weight"), fc1_b=g("mlp.fc1.bias"),
+            fc2_w=g("mlp.fc2.weight"), fc2_b=g("mlp.fc2.bias"),
+            window=window)
+        return out.reshape(B, N, C)
+
     gamma = gamma[:, None, :]
     beta = beta[:, None, :]
 

@@ -132,3 +132,38 @@ def test_window_attention_v3_matches_reference(rng, C):
         params["proj.weight"], params["proj.bias"], interpret=True), 4)
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("dim,hw", [(64, (16, 24)), (32, (8, 8))])
+def test_fused_structural_block_matches_reference(rng, dim, hw):
+    """Fused Pallas block body == structural_transformer_apply (fp32)."""
+    from multi_style_transfer_gan_tpu.models.structural_transformer import (
+        structural_transformer_apply, structural_transformer_init,
+    )
+
+    H, W = hw
+    B = 2
+    params = structural_transformer_init(jax.random.PRNGKey(3), dim)
+    # non-zero style modulation so the FiLM path is exercised
+    params["style_mod.weight"] = jnp.asarray(
+        rng.standard_normal(params["style_mod.weight"].shape), jnp.float32) * 0.1
+    params["style_mod.bias"] = jnp.asarray(
+        rng.standard_normal(params["style_mod.bias"].shape), jnp.float32) * 0.1
+
+    tokens = jnp.asarray(rng.standard_normal((B, H * W, dim)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((B, dim)), jnp.float32)
+    orig = jnp.asarray(rng.standard_normal((B, 4 * H, 4 * W, 3)), jnp.float32)
+
+    ref = structural_transformer_apply(params, tokens, style, orig, (H, W))
+
+    import multi_style_transfer_gan_tpu.ops.pallas.fused_transformer as ft
+    orig_call = ft.pl.pallas_call
+    ft.pl.pallas_call = lambda *a, **kw: orig_call(*a, **{**kw,
+                                                          "interpret": True})
+    try:
+        got = structural_transformer_apply(params, tokens, style, orig,
+                                           (H, W), fast=True)
+    finally:
+        ft.pl.pallas_call = orig_call
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
