@@ -216,7 +216,8 @@ def _packed_window8_mhsa(tokens_p, qkv_w, qkv_b, proj_w, proj_b, dim):
     return packed_per_channel_linear(out, proj_w.T, proj_b, F)
 
 
-def _packed_transformer_block(p, tokens_p, style, xp_input, prefix, dim):
+def _packed_transformer_block(p, tokens_p, style, xp_input, prefix, dim,
+                              fast=False):
     """StructuralTransformerBlock on packed tensors (see
     structural_transformer.py for the block design)."""
     g = lambda n: p[f"{prefix}{n}"]
@@ -236,6 +237,27 @@ def _packed_transformer_block(p, tokens_p, style, xp_input, prefix, dim):
 
     mod = linear(style, g("style_mod.weight"), g("style_mod.bias"))
     gamma, beta = jnp.split(mod, 2, axis=-1)
+
+    if fast and Hp % 2 == 0 and Wp % 2 == 0:
+        # Fused Pallas block body on the grid layout (see ops/pallas/
+        # fused_transformer.py). Attention is permutation-equivariant over
+        # window positions, so the grid kernel's (different) in-window token
+        # order yields identical outputs; the d2s/s2d relayouts at the
+        # bottleneck are 16x smaller than the full-res ones the packed
+        # engine exists to avoid.
+        from ..ops.pallas.fused_transformer import fused_structural_block
+
+        out = fused_structural_block(
+            depth_to_space(tokens_p, F), depth_to_space(struct, F),
+            gamma, beta,
+            norm1_w=g("norm1.weight"), norm1_b=g("norm1.bias"),
+            qkv_w=g("attn.qkv.weight"), qkv_b=g("attn.qkv.bias"),
+            proj_w=g("attn.proj.weight"), proj_b=g("attn.proj.bias"),
+            norm2_w=g("norm2.weight"), norm2_b=g("norm2.bias"),
+            fc1_w=g("mlp.fc1.weight"), fc1_b=g("mlp.fc1.bias"),
+            fc2_w=g("mlp.fc2.weight"), fc2_b=g("mlp.fc2.bias"))
+        return space_to_depth(out, F)
+
     gamma = jnp.tile(gamma, (1, F * F))[:, None, None, :]
     beta = jnp.tile(beta, (1, F * F))[:, None, None, :]
 
@@ -295,7 +317,8 @@ def packed_enhanced_generator_apply(packed, x, *, fast_attention=False):
 
     for i in range(n_blocks):
         h = _packed_transformer_block(p, h, style, xp,
-                                      f"transformer_blocks.{i}.", 4 * c)
+                                      f"transformer_blocks.{i}.", 4 * c,
+                                      fast=fast_attention)
 
     for name, w in (("up1", 2 * c), ("up2", c)):
         Hp, Wp = h.shape[1] * 2, h.shape[2] * 2
