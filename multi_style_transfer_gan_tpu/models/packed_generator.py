@@ -110,15 +110,17 @@ def pack_enhanced_generator_params(params, dtype=None):
 
 def _attention(p, x, prefix, fast=False):
     if fast:
-        # fused Pallas kernels on the packed layout (no lane-padded
-        # intermediates); math identical to the einsum path below. Two
-        # kernels by channel width: C <= 32 uses the dense block-diagonal
-        # v3 (one MXU matmul per tile for qkv — 2.3x faster at 512^2 C=16;
-        # at C=32 it's the best packed-native option even though the NHWC
-        # v1 kernel edges it out, since leaving the packed layout would
-        # cost the relayout v3 exists to avoid); C >= 64 keeps the
-        # per-phase-matmul kernel (v3's expanded weights would outgrow
-        # VMEM quadratically).
+        # fused Pallas kernels; math identical to the einsum path below.
+        # Dispatch by channel width: C <= 32 uses the dense block-diagonal
+        # v3 on the packed layout directly (one MXU matmul per tile for
+        # qkv — 2.3x faster at 512^2 C=16; at C=32 it's the best
+        # packed-native option even though the NHWC v1 kernel edges it
+        # out, since the full-res relayout would cost more than it buys);
+        # C >= 64 hops layouts: the bottleneck-resolution d2s/s2d is 16x
+        # smaller than the full-res relayouts, and the NHWC v1 per-window
+        # kernel beats the packed per-phase kernel 20.3 vs 49.6 ms at the
+        # 512^2-input down2 shape (scripts/ab_packed_c64_attention.py;
+        # v3's expanded weights would outgrow VMEM quadratically there).
         wqkv = p[f"{prefix}qkv.weight"]
         C = wqkv.shape[-2]
         if C <= 32:
@@ -129,13 +131,14 @@ def _attention(p, x, prefix, fast=False):
             return packed_window_attention_v3(
                 x, wqkv, p[f"{prefix}qkv.bias"],
                 p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"])
-        from ..ops.pallas.packed_attention import (
-            packed_window_attention_pallas,
+        from ..ops.pallas.window_attention import (
+            fused_window_channel_attention,
         )
 
-        return packed_window_attention_pallas(
-            x, wqkv, p[f"{prefix}qkv.bias"],
-            p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"])
+        return space_to_depth(fused_window_channel_attention(
+            depth_to_space(x, F), wqkv, p[f"{prefix}qkv.bias"],
+            p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"],
+            window_size=F), F)
     return packed_window_channel_attention(
         x, p[f"{prefix}qkv.weight"], p[f"{prefix}qkv.bias"],
         p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"], f=F)

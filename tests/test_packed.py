@@ -143,12 +143,13 @@ def test_packed_full_forward_fast_attention(rng, monkeypatch):
     """Packed forward with fast_attention=True (Pallas kernels, interpret
     mode) == the einsum packed forward, exercising all kernel dispatches:
     channels=16 puts down1/up1/up2 attention on the v3 packed-row kernel
-    (C in {16, 32}), down2 on the per-phase kernel (C=64), and the
+    (C in {16, 32}), down2 on the d2s->v1 layout hop (C=64), and the
     transformer block on the fused grid kernel."""
     from jax.experimental import pallas as pl
 
     import multi_style_transfer_gan_tpu.ops.pallas.packed_attention as pa
     import multi_style_transfer_gan_tpu.ops.pallas.fused_transformer as ft
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention as wa
     import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
     from multi_style_transfer_gan_tpu.models import (
         enhanced_generator_init,
@@ -164,6 +165,7 @@ def test_packed_full_forward_fast_attention(rng, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(pa.pl, "pallas_call", interp)
+    monkeypatch.setattr(wa.pl, "pallas_call", interp)
     monkeypatch.setattr(wa3.pl, "pallas_call", interp)
     monkeypatch.setattr(ft.pl, "pallas_call", interp)
 

@@ -167,3 +167,28 @@ def test_fused_structural_block_matches_reference(rng, dim, hw):
         ft.pl.pallas_call = orig_call
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("C,shape", [(16, (2, 32, 32)), (32, (1, 64, 32)),
+                                     (64, (1, 32, 32))])
+def test_window_attention_v4_matches_reference(rng, C, shape):
+    """v4 (chunk-looped per-window kernel) == reference math, including the
+    in-kernel fori_loop over dynamic VMEM offsets (num_chunks > 1)."""
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        local_attention_init,
+    )
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_v4 import (
+        window_attention_v4,
+    )
+
+    B, H, W = shape
+    params = local_attention_init(jax.random.PRNGKey(5), C)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    x = x.at[0, :4, :4, :].set(0.0)  # zero-safe normalize coverage
+    ref = local_attention_apply(params, x, prefix="")
+    got = window_attention_v4(
+        x, params["qkv.weight"], params["qkv.bias"],
+        params["proj.weight"], params["proj.bias"],
+        chunk_windows=16, num_chunks=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
