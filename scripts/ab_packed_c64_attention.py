@@ -1,11 +1,12 @@
-"""A/B the packed engine's C=64 attention options at the down2 shape.
+"""A/B the packed engine's attention options at a given stage shape.
 
-Candidates on a (B, 32, 32, 1024) packed tensor (512^2 input, channels=16):
-  per-phase : packed_window_attention_pallas (current dispatch)
+Candidates on a (B, Hp, Hp, 16*C) packed tensor:
+  per-phase : packed_window_attention_pallas
+  v3-packed : packed_window_attention_v3 (current C<=32 dispatch)
   d2s+v1    : depth_to_space -> v1 per-window kernel -> space_to_depth
   d2s+v4    : same hop through the chunk-looped v4 kernel
 
-Usage: python scripts/ab_packed_c64_attention.py [batch]
+Usage: python scripts/ab_packed_c64_attention.py [batch] [C] [Hp]
 """
 
 import sys
@@ -34,8 +35,9 @@ from multi_style_transfer_gan_tpu.ops.pallas.window_attention_v4 import (
 from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+C = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+HP = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 ROUNDS, ITERS = 4, 4
-C, HP = 64, 32  # down2 at 512^2 input
 
 
 def bench(fn, x):
@@ -59,8 +61,12 @@ def main():
     xp = jnp.asarray(rng.standard_normal((BATCH, HP, HP, 16 * C)),
                      jnp.bfloat16)
     a = (w["qkv.weight"], w["qkv.bias"], w["proj.weight"], w["proj.bias"])
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 import (
+        packed_window_attention_v3,
+    )
     cands = {
         "per-phase": lambda x: packed_window_attention_pallas(x, *a),
+        "v3-packed": lambda x: packed_window_attention_v3(x, *a),
         "d2s+v1": lambda x: space_to_depth(
             fused_window_channel_attention(depth_to_space(x, 4), *a), 4),
         "d2s+v4": lambda x: space_to_depth(
