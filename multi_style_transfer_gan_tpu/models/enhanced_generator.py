@@ -50,41 +50,87 @@ from .structural_transformer import (
 # LocalAttention (windowed channel attention)
 # ---------------------------------------------------------------------------
 
+def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
+    """Fast-kernel dispatch: same math, one VMEM-resident pass instead of
+    qkv/attn/proj HBM round trips. Two kernels by channel width: the
+    full-resolution C=16 stage uses the dense block-diagonal packed-row
+    kernel (v3 — 2.3x over v1 at 512^2 C=16, where lane sparsity starves
+    v1); wider C keeps the per-window v1 kernel (measured faster from C=32
+    up — v3's flattened C*C lanes grow quadratically). MXU passes may run
+    bf16, so the parity-critical 'highest' path keeps the XLA formulation
+    in _attention_math."""
+    C = x.shape[-1]
+    if C <= 16 and window_size == 4:
+        from ..ops.pallas.window_attention_v3 import window_attention_v3
+
+        return window_attention_v3(x, wqkv, bqkv, wproj, bproj,
+                                   window_size=window_size, eps=eps)
+    from ..ops.pallas import fused_window_channel_attention
+
+    return fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
+                                          window_size=window_size, eps=eps)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attention_fast_vjp(x, wqkv, bqkv, wproj, bproj, window_size, eps):
+    """Fast kernels with a training-grade VJP.
+
+    Primal = the Pallas fast path; backward = the vjp of the XLA
+    formulation recomputed from the saved inputs (the kernels have no
+    hand-written gradients). The forward/backward mismatch is the kernels'
+    documented bf16-noise-floor divergence — standard mixed-kernel
+    training practice; the parity-critical paths never use this."""
+    return _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps)
+
+
+def _attention_fast_vjp_fwd(x, wqkv, bqkv, wproj, bproj, window_size, eps):
+    out = _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps)
+    return out, (x, wqkv, bqkv, wproj, bproj)
+
+
+def _attention_fast_vjp_bwd(window_size, eps, res, g):
+    x, wqkv, bqkv, wproj, bproj = res
+    _, vjp = jax.vjp(
+        lambda *a: _attention_math(*a, window_size=window_size, eps=eps),
+        x, wqkv, bqkv, wproj, bproj)
+    return vjp(g)
+
+
+_attention_fast_vjp.defvjp(_attention_fast_vjp_fwd, _attention_fast_vjp_bwd)
+
+
 def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
-                          eps: float = 1e-12, fast: bool = False):
+                          eps: float = 1e-12, fast=False):
     """Windowed channel attention; numerics match the reference module.
 
     x: (B, H, W, C) with H, W divisible by window_size (true for all
     reference resolutions: 256/128/64 with ws=4; the reference's pad branch
     is dead code incompatible with its own reshape — see SURVEY.md §2.1 —
     so we require divisibility rather than replicate the latent bug).
+
+    fast: False = XLA formulation (autodiff-capable, precision=highest
+    capable); True = fused Pallas kernels (inference); "train" = fused
+    kernels forward + XLA-formulation backward via custom_vjp.
     """
     g = lambda n: params[f"{prefix}{n}"]
-    B, H, W, C = x.shape
     ws = window_size
 
+    if fast == "train":
+        return _attention_fast_vjp(x, g("qkv.weight"), g("qkv.bias"),
+                                   g("proj.weight"), g("proj.bias"), ws, eps)
     if fast:
-        # fused Pallas kernels: same math, one VMEM-resident pass instead of
-        # qkv/attn/proj HBM round trips. Two kernels by channel width: the
-        # full-resolution C=16 stage uses the dense block-diagonal
-        # packed-row kernel (v3 — 2.3x over v1 at 512^2 C=16, where lane
-        # sparsity starves v1); wider C keeps the per-window v1 kernel
-        # (measured faster from C=32 up — v3's flattened C*C lanes grow
-        # quadratically). MXU passes may run bf16, so the parity-critical
-        # 'highest' path keeps the XLA formulation below.
-        if C <= 16 and ws == 4:
-            from ..ops.pallas.window_attention_v3 import window_attention_v3
+        return _attention_fast(x, g("qkv.weight"), g("qkv.bias"),
+                               g("proj.weight"), g("proj.bias"), ws, eps)
+    return _attention_math(x, g("qkv.weight"), g("qkv.bias"),
+                           g("proj.weight"), g("proj.bias"),
+                           window_size=ws, eps=eps)
 
-            return window_attention_v3(
-                x, g("qkv.weight"), g("qkv.bias"), g("proj.weight"),
-                g("proj.bias"), window_size=ws, eps=eps)
-        from ..ops.pallas import fused_window_channel_attention
 
-        return fused_window_channel_attention(
-            x, g("qkv.weight"), g("qkv.bias"), g("proj.weight"),
-            g("proj.bias"), window_size=ws, eps=eps)
-
-    qkv = conv2d(x, g("qkv.weight"), g("qkv.bias"))  # (B, H, W, 3C)
+def _attention_math(x, wqkv, bqkv, wproj, bproj, *, window_size, eps):
+    """The XLA einsum formulation (reference numerics, autodiff-capable)."""
+    B, H, W, C = x.shape
+    ws = window_size
+    qkv = conv2d(x, wqkv, bqkv)  # (B, H, W, 3C)
     nh, nw = H // ws, W // ws
     t = qkv.reshape(B, nh, ws, nw, ws, 3 * C)
     t = t.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
@@ -113,7 +159,7 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
 
     out = out.reshape(B, nh, nw, ws, ws, C)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
-    return conv2d(out, g("proj.weight"), g("proj.bias"))
+    return conv2d(out, wproj, bproj)
 
 
 def local_attention_init(key, channels, dtype=jnp.float32):
@@ -218,7 +264,7 @@ def channels_of(params) -> int:
 
 
 def enhanced_generator_apply(params, x, *, window_size: int = 4,
-                             fast_attention: bool = False,
+                             fast_attention=False,
                              remat: bool = False):
     """Forward pass. x: (B, H, W, 3) in [-1, 1], H and W divisible by 16.
 
@@ -232,6 +278,10 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
     163-209, enabled for CycleGAN training at enhanced_train.py:24-25);
     activations are recomputed in the backward pass instead of stored,
     trading FLOPs for HBM exactly like torch.utils.checkpoint.
+
+    fast_attention: False = pure XLA; True = fused Pallas kernels
+    (inference only); "train" = fused kernels forward with XLA-formulation
+    custom_vjp backward (differentiable, composes with remat).
     """
     ckpt = jax.checkpoint if remat else (lambda f: f)
 

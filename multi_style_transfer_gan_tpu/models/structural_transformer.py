@@ -38,6 +38,8 @@ Parameter keys (our schema; documented for checkpoint compatibility):
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -128,9 +130,76 @@ def _window_attention(tokens, grid_hw, qkv_w, qkv_b, proj_w, proj_b,
     return linear(out, proj_w, proj_b)
 
 
+def _block_body_math(tokens, struct_tokens, gamma, beta,
+                     n1w, n1b, qkvw, qkvb, projw, projb,
+                     n2w, n2b, f1w, f1b, f2w, f2b, *, grid_hw, window):
+    """The XLA block body (autodiff-capable): LN1+FiLM -> window MHSA ->
+    LN2 -> MLP with both residuals, on (B, H*W, C) tokens."""
+    h = _layer_norm(tokens + struct_tokens, n1w, n1b)
+    h = h * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+    tokens = tokens + _window_attention(h, grid_hw, qkvw, qkvb, projw, projb,
+                                        window=window)
+    h = _layer_norm(tokens, n2w, n2b)
+    h = linear(h, f1w, f1b)
+    h = gelu(h)
+    h = linear(h, f2w, f2b)
+    return tokens + h
+
+
+def _fused_block(tokens_g, struct_g, gamma, beta, *w, window):
+    from ..ops.pallas.fused_transformer import fused_structural_block
+
+    (n1w, n1b, qkvw, qkvb, projw, projb, n2w, n2b,
+     f1w, f1b, f2w, f2b) = w
+    return fused_structural_block(
+        tokens_g, struct_g, gamma, beta,
+        norm1_w=n1w, norm1_b=n1b, qkv_w=qkvw, qkv_b=qkvb,
+        proj_w=projw, proj_b=projb, norm2_w=n2w, norm2_b=n2b,
+        fc1_w=f1w, fc1_b=f1b, fc2_w=f2w, fc2_b=f2b, window=window)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(16,))
+def _fused_block_vjp(tokens_g, struct_g, gamma, beta,
+                     n1w, n1b, qkvw, qkvb, projw, projb,
+                     n2w, n2b, f1w, f1b, f2w, f2b, window):
+    """Fused Pallas block forward + XLA-body backward (training fast path).
+
+    The backward recomputes the XLA formulation's vjp from saved inputs —
+    the fused kernel has no hand-written gradient; the fwd/bwd mismatch is
+    the kernel's documented sub-bf16-noise divergence."""
+    return _fused_block(tokens_g, struct_g, gamma, beta,
+                        n1w, n1b, qkvw, qkvb, projw, projb,
+                        n2w, n2b, f1w, f1b, f2w, f2b, window=window)
+
+
+def _fused_block_vjp_fwd(tokens_g, struct_g, gamma, beta,
+                         n1w, n1b, qkvw, qkvb, projw, projb,
+                         n2w, n2b, f1w, f1b, f2w, f2b, window):
+    args = (tokens_g, struct_g, gamma, beta, n1w, n1b, qkvw, qkvb,
+            projw, projb, n2w, n2b, f1w, f1b, f2w, f2b)
+    return _fused_block(*args, window=window), args
+
+
+def _fused_block_vjp_bwd(window, res, g):
+    tokens_g = res[0]
+    B, H, W, C = tokens_g.shape
+
+    def body(tokens_g, struct_g, gamma, beta, *w):
+        out = _block_body_math(tokens_g.reshape(B, H * W, C),
+                               struct_g.reshape(B, H * W, C),
+                               gamma, beta, *w, grid_hw=(H, W), window=window)
+        return out.reshape(B, H, W, C)
+
+    _, vjp = jax.vjp(body, *res)
+    return vjp(g)
+
+
+_fused_block_vjp.defvjp(_fused_block_vjp_fwd, _fused_block_vjp_bwd)
+
+
 def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
                                  *, prefix: str = "", window: int = 8,
-                                 fast: bool = False):
+                                 fast=False):
     """Apply one block.
 
     Args:
@@ -140,8 +209,9 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
       orig_image: (B, H0, W0, 3) network input in [-1, 1] (NHWC).
       grid_hw: static (H, W) of the token grid.
       fast: use the fused Pallas block body (ops/pallas/fused_transformer.py)
-        when the grid divides the window — inference only (no custom VJP);
-        the structure/style conditioning stays in XLA either way.
+        when the grid divides the window — True for inference, "train" for
+        fused-forward + XLA-backward via custom_vjp; the structure/style
+        conditioning stays in XLA either way.
     """
     g = lambda name: params[f"{prefix}{name}"]
     B, N, C = tokens.shape
@@ -163,32 +233,21 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
     mod = linear(style, g("style_mod.weight"), g("style_mod.bias"))  # (B, 2C)
     gamma, beta = jnp.split(mod, 2, axis=-1)
 
-    if fast and H % window == 0 and W % window == 0:
-        from ..ops.pallas.fused_transformer import fused_structural_block
+    weights = (g("norm1.weight"), g("norm1.bias"),
+               g("attn.qkv.weight"), g("attn.qkv.bias"),
+               g("attn.proj.weight"), g("attn.proj.bias"),
+               g("norm2.weight"), g("norm2.bias"),
+               g("mlp.fc1.weight"), g("mlp.fc1.bias"),
+               g("mlp.fc2.weight"), g("mlp.fc2.bias"))
 
-        out = fused_structural_block(
-            tokens.reshape(B, H, W, C), struct_tokens.reshape(B, H, W, C),
-            gamma, beta,
-            norm1_w=g("norm1.weight"), norm1_b=g("norm1.bias"),
-            qkv_w=g("attn.qkv.weight"), qkv_b=g("attn.qkv.bias"),
-            proj_w=g("attn.proj.weight"), proj_b=g("attn.proj.bias"),
-            norm2_w=g("norm2.weight"), norm2_b=g("norm2.bias"),
-            fc1_w=g("mlp.fc1.weight"), fc1_b=g("mlp.fc1.bias"),
-            fc2_w=g("mlp.fc2.weight"), fc2_b=g("mlp.fc2.bias"),
-            window=window)
+    if fast and H % window == 0 and W % window == 0:
+        grid_args = (tokens.reshape(B, H, W, C),
+                     struct_tokens.reshape(B, H, W, C), gamma, beta)
+        if fast == "train":
+            out = _fused_block_vjp(*grid_args, *weights, window)
+        else:
+            out = _fused_block(*grid_args, *weights, window=window)
         return out.reshape(B, N, C)
 
-    gamma = gamma[:, None, :]
-    beta = beta[:, None, :]
-
-    h = _layer_norm(tokens + struct_tokens, g("norm1.weight"), g("norm1.bias"))
-    h = h * (1.0 + gamma) + beta
-    tokens = tokens + _window_attention(
-        h, grid_hw, g("attn.qkv.weight"), g("attn.qkv.bias"),
-        g("attn.proj.weight"), g("attn.proj.bias"), window=window)
-
-    h = _layer_norm(tokens, g("norm2.weight"), g("norm2.bias"))
-    h = linear(h, g("mlp.fc1.weight"), g("mlp.fc1.bias"))
-    h = gelu(h)
-    h = linear(h, g("mlp.fc2.weight"), g("mlp.fc2.bias"))
-    return tokens + h
+    return _block_body_math(tokens, struct_tokens, gamma, beta, *weights,
+                            grid_hw=grid_hw, window=window)

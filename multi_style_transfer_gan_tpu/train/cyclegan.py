@@ -86,15 +86,20 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
 
 def cyclegan_train_step(state: CycleGANState, real_A, real_B,
                         g_tx=None, d_tx=None, compute_dtype=jnp.float32,
-                        remat=True):
+                        remat=True, fast_attention=False):
     """One full CycleGAN step. real_A/real_B: (B, H, W, 3) in [-1, 1].
 
     Returns (new_state, losses_dict) — losses match the reference's returned
     dict keys (enhanced_train.py:125-131). remat=True rematerializes
     generator stages in the backward pass — the reference enables gradient
     checkpointing for CycleGAN training (enhanced_train.py:24-25).
+    fast_attention=True runs generator forwards through the fused Pallas
+    kernels with the XLA-formulation backward (custom_vjp; see
+    enhanced_generator_apply) — opt-in, since the fwd/bwd pairing differs
+    from pure XLA by the kernels' sub-bf16-noise divergence.
     """
-    gen = partial(enhanced_generator_apply, remat=remat)
+    gen = partial(enhanced_generator_apply, remat=remat,
+                  fast_attention="train" if fast_attention else False)
     if g_tx is None or d_tx is None:
         g_tx, d_tx = make_optimizers()
     xa = real_A.astype(compute_dtype)

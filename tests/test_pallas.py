@@ -192,3 +192,62 @@ def test_window_attention_v4_matches_reference(rng, C, shape):
         chunk_windows=16, num_chunks=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
+    """fast="train" (fused kernels fwd + XLA custom_vjp bwd) produces the
+    XLA path's gradients at the unit level (sum-loss: the cotangent is
+    independent of the primal, so the custom bwd — the XLA vjp on saved
+    inputs — must match exactly up to fp noise). Full-network gradient
+    comparison is deliberately NOT tested: tiny forward deltas amplify
+    chaotically through the instance-norm stages (see PERFORMANCE.md)."""
+    import multi_style_transfer_gan_tpu.ops.pallas.fused_transformer as ft
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention as wa
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        local_attention_init,
+    )
+    from multi_style_transfer_gan_tpu.models.structural_transformer import (
+        structural_transformer_apply, structural_transformer_init,
+    )
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    for mod in (wa, wa3, ft):
+        monkeypatch.setattr(mod.pl, "pallas_call", interp)
+
+    # windowed channel attention (covers both kernel dispatches)
+    for C in (16, 32):
+        params = local_attention_init(jax.random.PRNGKey(6), C)
+        x = jnp.asarray(rng.standard_normal((1, 16, 16, C)), jnp.float32)
+
+        def loss(params, x, fast):
+            return jnp.sum(local_attention_apply(params, x, prefix="",
+                                                 fast=fast))
+
+        gf = jax.grad(loss, argnums=(0, 1))(params, x, "train")
+        gx = jax.grad(loss, argnums=(0, 1))(params, x, False)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    # structural transformer block
+    dim, H, W = 32, 8, 8
+    params = structural_transformer_init(jax.random.PRNGKey(7), dim)
+    tokens = jnp.asarray(rng.standard_normal((1, H * W, dim)), jnp.float32)
+    style = jnp.asarray(rng.standard_normal((1, dim)), jnp.float32)
+    im = jnp.asarray(rng.standard_normal((1, 4 * H, 4 * W, 3)), jnp.float32)
+
+    def tloss(params, tokens, fast):
+        return jnp.sum(structural_transformer_apply(params, tokens, style,
+                                                    im, (H, W), fast=fast))
+
+    gf = jax.grad(tloss, argnums=(0, 1))(params, tokens, "train")
+    gx = jax.grad(tloss, argnums=(0, 1))(params, tokens, False)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
