@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (replaces torch AMP)")
+    p.add_argument("--fast_attention", action="store_true",
+                   help="fused Pallas kernels for generator forwards "
+                        "(XLA-formulation backward via custom_vjp)")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -63,7 +66,8 @@ def main(argv=None):
     state = replicate_tree(state, mesh)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
-        s, a, b, g_tx, d_tx, compute_dtype=dtype))
+        s, a, b, g_tx, d_tx, compute_dtype=dtype,
+        fast_attention=args.fast_attention))
 
     for epoch in range(args.num_epochs):
         t0 = time.time()
