@@ -135,9 +135,17 @@ def pack_conv2d_weight(w, b, *, f_in: int, f_out: int, stride=1, padding=0,
                       "padding": ((-dmin_i, -dmin_i), (-dmin_j, -dmin_j))}
 
 
-def packed_conv2d(x, w_p, b_p, spec, *, preferred_dtype=jnp.float32):
+def packed_conv2d(x, w_p, b_p, spec, *, preferred_dtype=jnp.float32,
+                  out_hw=None):
     """Conv on packed tensors using a repacked kernel (supports the negative
-    effective padding that repacking can produce)."""
+    effective padding that repacking can produce).
+
+    out_hw: expected packed output (H, W). The spec's symmetric ``-d_min``
+    padding is exact for ``f_in == f_out`` but over-produces trailing rows
+    when ``f_in != f_out`` (the right edge needs less reach than the left);
+    pass the true packed output dims to crop — matching
+    :func:`packed_conv_transpose2d`'s ``out_hw``.
+    """
     ph, pw = spec["padding"]
     out = lax.conv_general_dilated(
         x, w_p.astype(x.dtype), window_strides=spec["stride"],
@@ -145,6 +153,8 @@ def packed_conv2d(x, w_p, b_p, spec, *, preferred_dtype=jnp.float32):
         preferred_element_type=preferred_dtype).astype(x.dtype)
     if b_p is not None:
         out = out + b_p.astype(out.dtype)
+    if out_hw is not None:
+        out = out[:, :out_hw[0], :out_hw[1], :]
     return out
 
 

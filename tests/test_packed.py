@@ -34,6 +34,8 @@ def test_s2d_roundtrip(rng):
     (7, 1, 3, 1, 4, 4),   # output conv
     (4, 2, 1, 1, 2, 2),   # f=2 variant
     (3, 1, 1, 1, 2, 4),   # mixed factors
+    (3, 2, 1, 1, 4, 2),   # stride-2 downsampling pack (needs out_hw crop)
+    (3, 2, 1, 1, 2, 1),   # pack -> plain NHWC output
 ])
 def test_pack_conv2d_parity(rng, K, stride, pad, dil, f_in, f_out):
     Cin, Cout, H, W = 3, 5, 32, 48
@@ -45,7 +47,9 @@ def test_pack_conv2d_parity(rng, K, stride, pad, dil, f_in, f_out):
     w_p, b_p, spec = pack_conv2d_weight(w, b, f_in=f_in, f_out=f_out,
                                         stride=stride, padding=pad,
                                         dilation=dil)
-    got = packed_conv2d(space_to_depth(x, f_in), w_p, b_p, spec)
+    out_hw = (ref.shape[1] // f_out, ref.shape[2] // f_out)
+    got = packed_conv2d(space_to_depth(x, f_in), w_p, b_p, spec,
+                        out_hw=out_hw)
     got = depth_to_space(got, f_out)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
