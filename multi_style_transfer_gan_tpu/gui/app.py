@@ -78,12 +78,11 @@ def _process_standard(model, img_path, out_path, *, blend_original=0.0,
     """Standard-tab worker chain (standard_process_thread, :769-907)."""
     import jax.numpy as jnp
 
-    from ..ops import to_model_range, from_model_range, aspect_crop_bounds
+    from ..ops import to_model_range, from_model_range
     from ..ops.filters import median_blur3, bilateral_filter, \
         convert_scale_abs, gaussian_blur
     from ..ops.smooth import fix_color_blocks
     from ..pipelines.batch import _decode_canvas
-    from PIL import Image
 
     canvas, (w, h) = _decode_canvas(img_path, 256, 255)
     x = to_model_range(jnp.asarray(canvas))[None]
@@ -105,9 +104,19 @@ def _process_standard(model, img_path, out_path, *, blend_original=0.0,
             out = convert_scale_abs(out, 1.1, 5)
     if smooth > 0:
         out = gaussian_blur(out, 2 * int(smooth) + 1)
-    out = jnp.clip(jnp.round(out), 0, 255)
+    return _finish_and_save(out, w, h, out_path)
 
-    img = Image.fromarray(np.asarray(out).astype(np.uint8))
+
+def _finish_and_save(res, w, h, out_path):
+    """Clamp, aspect-crop, restore original size (<=1MP), save — the shared
+    tail of every GUI worker (gan_login_gui.py:874-899)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..ops import aspect_crop_bounds
+
+    img = Image.fromarray(
+        np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8))
     l, t, r, b = aspect_crop_bounds(w, h, 256)
     if (l, t, r, b) != (0, 0, 256, 256):
         img = img.crop((l, t, r, b))
@@ -116,6 +125,53 @@ def _process_standard(model, img_path, out_path, *, blend_original=0.0,
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     img.save(out_path)
     return out_path
+
+
+def _process_local(model, img_path, out_path, *, mode="enhanced",
+                   strength=0.5, detail=0.6):
+    """Local-style-tab worker (local_style_process_thread, :1259-1530).
+
+    mode: simple/enhanced/advanced (the GUI blend recipes) or
+    enhanced_segmentation (the full felzenszwalb pipeline)."""
+    import jax.numpy as jnp
+
+    from ..ops import to_model_range, from_model_range
+    from ..pipelines.batch import _decode_canvas, _postprocess
+
+    if mode == "enhanced_segmentation":
+        from ..pipelines.local_style import enhanced_local_style_transfer
+
+        enhanced_local_style_transfer(model, img_path, out_path)
+        return out_path
+    canvas, (w, h) = _decode_canvas(img_path, 256, 255)
+    x = to_model_range(jnp.asarray(canvas))[None]
+    styled = from_model_range(model.apply(x)) * 255.0
+    if mode == "enhanced":
+        # GUI-tab blend recipe (blue-sky mask + Canny edge weights,
+        # gan_login_gui.py:1334-1408)
+        from ..ops.gui_effects import gui_local_style_blend
+
+        res = gui_local_style_blend(
+            jnp.asarray(canvas, jnp.float32)[None], styled,
+            float(strength), float(detail))[0]
+    else:
+        res = _postprocess(jnp.asarray(canvas, jnp.float32)[None], styled,
+                           mode, float(strength), float(detail), True,
+                           True)[0]
+    return _finish_and_save(res, w, h, out_path)
+
+
+def _process_cyclegan(model, img_path, out_path):
+    """CycleGAN-tab worker (cyclegan_process_thread, :1814-1898)."""
+    import jax.numpy as jnp
+
+    from ..ops import to_model_range, from_model_range
+    from ..pipelines.batch import _decode_canvas
+
+    canvas, (w, h) = _decode_canvas(img_path, 256, 255)
+    x = to_model_range(jnp.asarray(canvas))[None]
+    y = from_model_range(model.apply(x))[0] * 255.0
+    return _finish_and_save(y, w, h, out_path)
 
 
 def main():
@@ -258,43 +314,11 @@ def main():
 
         # local style tab
         def run_local(p, c):
-            from ..pipelines.batch import batch_process  # reuse single via dir
-            from ..pipelines.local_style import enhanced_local_style_transfer
-            model = manager.pick("enhanced", c["direction"])
-            out = os.path.join(OUTPUT_DIR,
-                               f"local_{os.path.basename(p)}")
-            if c["mode"] == "enhanced_segmentation":
-                enhanced_local_style_transfer(model, p, out)
-                return out
-            from ..pipelines.batch import _decode_canvas, _postprocess
-            import jax.numpy as jnp
-            from ..ops import to_model_range, from_model_range, \
-                aspect_crop_bounds
-            from ..ops.gui_effects import gui_local_style_blend
-            from PIL import Image
-            canvas, (w, h) = _decode_canvas(p, 256, 255)
-            x = to_model_range(jnp.asarray(canvas))[None]
-            styled = from_model_range(model.apply(x)) * 255.0
-            if c["mode"] == "enhanced":
-                # GUI-tab blend recipe (blue-sky mask + Canny edge weights,
-                # gan_login_gui.py:1334-1408)
-                res = gui_local_style_blend(
-                    jnp.asarray(canvas, jnp.float32)[None], styled,
-                    float(c["strength"]), float(c["detail"]))[0]
-            else:
-                res = _postprocess(jnp.asarray(canvas, jnp.float32)[None],
-                                   styled, c["mode"], float(c["strength"]),
-                                   float(c["detail"]), True, True)[0]
-            img = Image.fromarray(
-                np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8))
-            l, t, r, b = aspect_crop_bounds(w, h, 256)
-            if (l, t, r, b) != (0, 0, 256, 256):
-                img = img.crop((l, t, r, b))
-            if w * h <= 1024 * 1024:
-                img = img.resize((w, h), Image.LANCZOS)
-            os.makedirs(OUTPUT_DIR, exist_ok=True)
-            img.save(out)
-            return out
+            return _process_local(
+                manager.pick("enhanced", c["direction"]), p,
+                os.path.join(OUTPUT_DIR, f"local_{os.path.basename(p)}"),
+                mode=c["mode"], strength=float(c["strength"]),
+                detail=float(c["detail"]))
 
         ls_controls = {}
         ls_frame = make_tab("local style", run_local, ls_controls)
@@ -315,26 +339,9 @@ def main():
 
         # cyclegan tab
         def run_cyc(p, c):
-            from ..pipelines.batch import _decode_canvas
-            import jax.numpy as jnp
-            from ..ops import to_model_range, from_model_range, \
-                aspect_crop_bounds
-            from PIL import Image
-            model = manager.pick("cyclegan", c["direction"])
-            canvas, (w, h) = _decode_canvas(p, 256, 255)
-            x = to_model_range(jnp.asarray(canvas))[None]
-            y = from_model_range(model.apply(x))[0] * 255.0
-            img = Image.fromarray(
-                np.asarray(jnp.clip(jnp.round(y), 0, 255)).astype(np.uint8))
-            l, t, r, b = aspect_crop_bounds(w, h, 256)
-            if (l, t, r, b) != (0, 0, 256, 256):
-                img = img.crop((l, t, r, b))
-            if w * h <= 1024 * 1024:
-                img = img.resize((w, h), Image.LANCZOS)
-            out = os.path.join(OUTPUT_DIR, f"cyclegan_{os.path.basename(p)}")
-            os.makedirs(OUTPUT_DIR, exist_ok=True)
-            img.save(out)
-            return out
+            return _process_cyclegan(
+                manager.pick("cyclegan", c["direction"]), p,
+                os.path.join(OUTPUT_DIR, f"cyclegan_{os.path.basename(p)}"))
 
         cyc_controls = {}
         cyc_frame = make_tab("cyclegan", run_cyc, cyc_controls)

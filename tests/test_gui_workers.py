@@ -1,0 +1,73 @@
+"""Headless tests of the GUI tab worker chains (gui/app.py).
+
+The reference GUI's processing logic lives in per-tab worker threads
+(gan_login_gui.py:769-907, :1259-1530, :1814-1898); ours are module-level
+functions the tkinter closures delegate to, so the full image->model->
+post-chain->save path is testable without a display.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multi_style_transfer_gan_tpu.gui.app import (
+    _process_cyclegan, _process_local, _process_standard,
+)
+
+
+class _StubModel:
+    """LoadedModel stand-in: apply maps [-1,1] -> [-1,1] deterministically."""
+
+    kind = "enhanced"
+
+    def apply(self, x):
+        import jax.numpy as jnp
+
+        return jnp.clip(-0.5 * x + 0.1, -1.0, 1.0)
+
+
+@pytest.fixture
+def img_path(tmp_path):
+    rng = np.random.default_rng(3)
+    arr = (rng.random((200, 300, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "in.jpg"
+    Image.fromarray(arr).save(p)
+    return str(p)
+
+
+def _check_output(out_path, w=300, h=200):
+    img = Image.open(out_path)
+    assert img.size == (w, h)  # aspect restored (<=1MP input)
+    a = np.asarray(img)
+    assert a.dtype == np.uint8 and a.std() > 0
+
+
+def test_process_standard(img_path, tmp_path):
+    out = str(tmp_path / "o" / "std.png")
+    got = _process_standard(_StubModel(), img_path, out, blend_original=0.3,
+                            fix_blocks=True, strength=0.8, smooth=2,
+                            enhance_colors=True, direction="photo2monet")
+    assert got == out
+    _check_output(out)
+
+
+def test_process_standard_monet2photo_no_extras(img_path, tmp_path):
+    out = str(tmp_path / "std2.png")
+    _process_standard(_StubModel(), img_path, out, blend_original=0.0,
+                      fix_blocks=False, strength=0.5, smooth=0,
+                      enhance_colors=True, direction="monet2photo")
+    _check_output(out)
+
+
+@pytest.mark.parametrize("mode", ["simple", "enhanced", "advanced"])
+def test_process_local_modes(img_path, tmp_path, mode):
+    out = str(tmp_path / f"local_{mode}.png")
+    _process_local(_StubModel(), img_path, out, mode=mode, strength=0.5,
+                   detail=0.6)
+    _check_output(out)
+
+
+def test_process_cyclegan(img_path, tmp_path):
+    out = str(tmp_path / "cyc.png")
+    _process_cyclegan(_StubModel(), img_path, out)
+    _check_output(out)
