@@ -11,6 +11,11 @@ def main(argv=None):
     p.add_argument("--g_ba", type=str, default="models/G_BA_epoch_200.pth")
     p.add_argument("--output_dir", type=str, default="output/m_test")
     p.add_argument("--max_images", type=int, default=100)
+    p.add_argument(
+        "--inception_weights", type=str, default=None,
+        help="torchvision inception_v3 state_dict .pth; when given, FID uses "
+             "real InceptionV3 pool features (m_test.py:16-34 parity) "
+             "instead of the fallback pooled image statistics")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -18,10 +23,15 @@ def main(argv=None):
     from ..pipelines import load_generator
     from ..metrics.fid_harness import run_fid_eval
 
+    feature_fn = None
+    if args.inception_weights:
+        from ..metrics.inception import make_inception_feature_fn
+        feature_fn = make_inception_feature_fn(args.inception_weights)
+
     g_ab = load_generator(args.g_ab)
     g_ba = load_generator(args.g_ba)
     results = run_fid_eval(g_ab, g_ba, args.data_root, args.output_dir,
-                           max_images=args.max_images)
+                           max_images=args.max_images, feature_fn=feature_fn)
     print(results)
 
 

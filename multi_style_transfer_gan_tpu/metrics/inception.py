@@ -43,7 +43,10 @@ def inception_from_torch_sd(sd) -> dict:
 
 
 def _bconv(p, name, x, *, stride=1, padding=0):
-    """BasicConv2d: conv(bias=False) + BN(eps=0.001) + relu."""
+    """BasicConv2d: conv(bias=False) + BN(eps=0.001) + relu.
+
+    ``padding`` may be an (ph, pw) pair for the asymmetric 1x7 / 7x1 convs.
+    """
     w = p[f"{name}.conv.weight"]
     h = conv2d(x, w, stride=stride, padding=padding)
     g = p[f"{name}.bn.weight"]
@@ -61,12 +64,12 @@ def _maxpool(x, k=3, s=2, pad=0):
 
 
 def _avgpool3(x):
+    # torchvision's branch_pool is F.avg_pool2d(3, stride=1, padding=1) with
+    # the default count_include_pad=True: border windows divide by 9, not by
+    # the in-bounds count.
     s = lax.reduce_window(x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
                           [(0, 0), (1, 1), (1, 1), (0, 0)])
-    ones = jnp.ones_like(x[..., :1])
-    cnt = lax.reduce_window(ones, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
-                            [(0, 0), (1, 1), (1, 1), (0, 0)])
-    return s / cnt
+    return s / 9.0
 
 
 def _inception_a(p, n, x):
@@ -88,34 +91,16 @@ def _inception_b(p, n, x):
     return jnp.concatenate([b3, bd, _maxpool(x)], -1)
 
 
-def _conv_asym(p, name, x, kh, kw):
-    return _bconv(p, name, x, padding=0) if (kh, kw) == (1, 1) else None
-
-
-def _bconv_pad(p, name, x, pad_hw):
-    w = p[f"{name}.conv.weight"]
-    h = lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1, 1),
-        [(pad_hw[0], pad_hw[0]), (pad_hw[1], pad_hw[1])],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    g = p[f"{name}.bn.weight"]
-    b = p[f"{name}.bn.bias"]
-    m = p[f"{name}.bn.running_mean"]
-    v = p[f"{name}.bn.running_var"]
-    return jnp.maximum((h - m) * lax.rsqrt(v + 1e-3) * g + b, 0)
-
-
 def _inception_c(p, n, x):
     b1 = _bconv(p, f"{n}.branch1x1", x)
     b7 = _bconv(p, f"{n}.branch7x7_1", x)
-    b7 = _bconv_pad(p, f"{n}.branch7x7_2", b7, (0, 3))
-    b7 = _bconv_pad(p, f"{n}.branch7x7_3", b7, (3, 0))
+    b7 = _bconv(p, f"{n}.branch7x7_2", b7, padding=(0, 3))
+    b7 = _bconv(p, f"{n}.branch7x7_3", b7, padding=(3, 0))
     bd = _bconv(p, f"{n}.branch7x7dbl_1", x)
-    bd = _bconv_pad(p, f"{n}.branch7x7dbl_2", bd, (3, 0))
-    bd = _bconv_pad(p, f"{n}.branch7x7dbl_3", bd, (0, 3))
-    bd = _bconv_pad(p, f"{n}.branch7x7dbl_4", bd, (3, 0))
-    bd = _bconv_pad(p, f"{n}.branch7x7dbl_5", bd, (0, 3))
+    bd = _bconv(p, f"{n}.branch7x7dbl_2", bd, padding=(3, 0))
+    bd = _bconv(p, f"{n}.branch7x7dbl_3", bd, padding=(0, 3))
+    bd = _bconv(p, f"{n}.branch7x7dbl_4", bd, padding=(3, 0))
+    bd = _bconv(p, f"{n}.branch7x7dbl_5", bd, padding=(0, 3))
     bp = _bconv(p, f"{n}.branch_pool", _avgpool3(x))
     return jnp.concatenate([b1, b7, bd, bp], -1)
 
@@ -124,8 +109,8 @@ def _inception_d(p, n, x):
     b3 = _bconv(p, f"{n}.branch3x3_1", x)
     b3 = _bconv(p, f"{n}.branch3x3_2", b3, stride=2)
     b7 = _bconv(p, f"{n}.branch7x7x3_1", x)
-    b7 = _bconv_pad(p, f"{n}.branch7x7x3_2", b7, (0, 3))
-    b7 = _bconv_pad(p, f"{n}.branch7x7x3_3", b7, (3, 0))
+    b7 = _bconv(p, f"{n}.branch7x7x3_2", b7, padding=(0, 3))
+    b7 = _bconv(p, f"{n}.branch7x7x3_3", b7, padding=(3, 0))
     b7 = _bconv(p, f"{n}.branch7x7x3_4", b7, stride=2)
     return jnp.concatenate([b3, b7, _maxpool(x)], -1)
 
@@ -134,28 +119,30 @@ def _inception_e(p, n, x):
     b1 = _bconv(p, f"{n}.branch1x1", x)
     b3 = _bconv(p, f"{n}.branch3x3_1", x)
     b3 = jnp.concatenate([
-        _bconv_pad(p, f"{n}.branch3x3_2a", b3, (0, 1)),
-        _bconv_pad(p, f"{n}.branch3x3_2b", b3, (1, 0)),
+        _bconv(p, f"{n}.branch3x3_2a", b3, padding=(0, 1)),
+        _bconv(p, f"{n}.branch3x3_2b", b3, padding=(1, 0)),
     ], -1)
     bd = _bconv(p, f"{n}.branch3x3dbl_1", x)
     bd = _bconv(p, f"{n}.branch3x3dbl_2", bd, padding=1)
     bd = jnp.concatenate([
-        _bconv_pad(p, f"{n}.branch3x3dbl_3a", bd, (0, 1)),
-        _bconv_pad(p, f"{n}.branch3x3dbl_3b", bd, (1, 0)),
+        _bconv(p, f"{n}.branch3x3dbl_3a", bd, padding=(0, 1)),
+        _bconv(p, f"{n}.branch3x3dbl_3b", bd, padding=(1, 0)),
     ], -1)
     bp = _bconv(p, f"{n}.branch_pool", _avgpool3(x))
     return jnp.concatenate([b1, b3, bd, bp], -1)
 
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
-
-
 def inception_pool_features(params, imgs01):
-    """(N, H, W, 3) in [0,1] -> (N, 2048) pool features (torchvision
-    preprocessing: resize 299, imagenet normalize — m_test.py:28-34)."""
+    """(N, H, W, 3) in [0,1] -> (N, 2048) pool features.
+
+    Matches torchvision pretrained semantics (m_test.py:28-34): resize to
+    299, imagenet-normalize, then the model's own ``transform_input=True``
+    step (weights-loaded ``inception_v3`` always enables it). Normalize by
+    (mean, std) followed by ``x*std/0.5 + (mean-0.5)/0.5`` composes to
+    exactly ``2x - 1``, which is what we apply.
+    """
     x = resize(imgs01.astype(jnp.float32), (299, 299), method="bilinear")
-    x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+    x = 2.0 * x - 1.0
     x = _bconv(params, "Conv2d_1a_3x3", x, stride=2)
     x = _bconv(params, "Conv2d_2a_3x3", x)
     x = _bconv(params, "Conv2d_2b_3x3", x, padding=1)
@@ -180,8 +167,7 @@ def make_inception_feature_fn(weights_path):
     from ..weights import load_pth, extract_state_dict
 
     ckpt = load_pth(weights_path)
-    sd = ckpt if not isinstance(ckpt, dict) or "Conv2d_1a_3x3.conv.weight" \
-        in ckpt else ckpt
+    sd = ckpt
     if isinstance(ckpt, dict) and "Conv2d_1a_3x3.conv.weight" not in ckpt:
         sd = extract_state_dict(ckpt)
     params = inception_from_torch_sd(sd)
