@@ -15,6 +15,10 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--precision", choices=["default", "high", "highest"],
                    default="default")
+    p.add_argument("--spatial", type=int, default=0,
+                   help="shard the image height over N devices (for sizes "
+                        "whose activations outgrow one chip; size must be "
+                        "divisible by 16*N)")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -34,7 +38,8 @@ def main(argv=None):
     elif args.test_skip:
         print(try_skip_connections(model, args.image, out_dir))
     else:
-        transform_image(model, args.image, args.output, size=args.size)
+        transform_image(model, args.image, args.output, size=args.size,
+                        spatial=args.spatial)
         print(f"saved: {args.output}")
 
 

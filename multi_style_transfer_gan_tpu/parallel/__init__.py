@@ -9,8 +9,9 @@ from .mesh import (
     make_mesh, make_mesh_for_batch, data_sharding, replicated, shard_batch, replicate_tree,
     local_batch_size,
 )
+from .spatial import spatial_mesh, spatial_apply
 
 __all__ = [
     "make_mesh", "make_mesh_for_batch", "data_sharding", "replicated", "shard_batch",
-    "replicate_tree", "local_batch_size",
+    "replicate_tree", "local_batch_size", "spatial_mesh", "spatial_apply",
 ]

@@ -31,16 +31,23 @@ def _save_rgb(arr01, path):
 
 
 def transform_image(model: LoadedModel, image_path, output_path=None,
-                    size: int = 256):
+                    size: int = 256, spatial: int = 0):
     """Resize to (size, size), run the generator, return/save [0,1] output.
 
     Mirrors direct_transform.transform_image:44-79. Returns the HWC float
-    array; writes ``output_path`` when given.
+    array; writes ``output_path`` when given. ``spatial`` > 1 runs the
+    forward height-sharded over that many devices (parallel/spatial.py) —
+    the high-resolution mode for sizes whose activations outgrow one chip;
+    size must be divisible by 16 * spatial.
     """
     img = _load_rgb(image_path)
     x = resize(jnp.asarray(img, jnp.float32) / 255.0, (size, size))
     x = to_model_range(x)[None]
-    y = from_model_range(model.apply(x))[0]
+    apply = model.apply
+    if spatial and spatial > 1:
+        from ..parallel import spatial_apply
+        apply = spatial_apply(model, n_devices=spatial)
+    y = from_model_range(apply(x))[0]
     if output_path:
         _save_rgb(y, output_path)
     return np.asarray(y)

@@ -72,6 +72,16 @@ def test_direct_transform_cli(env, tmp_path):
     assert out.exists()
 
 
+def test_direct_transform_cli_spatial(env, tmp_path):
+    from multi_style_transfer_gan_tpu.cli.direct_transform import main
+
+    out = tmp_path / "direct_sp.png"
+    main(["--image", str(env / "imgs" / "im0.png"),
+          "--model", str(env / "gab.pth"), "--output", str(out),
+          "--size", "64", "--spatial", "2"])
+    assert out.exists()
+
+
 def test_debug_model_cli(env, tmp_path, capsys):
     from multi_style_transfer_gan_tpu.cli.debug_model import main
 
