@@ -174,6 +174,20 @@ def _process_cyclegan(model, img_path, out_path):
     return _finish_and_save(y, w, h, out_path)
 
 
+def _thumb(path, max_side=380):
+    """Tk-displayable thumbnail of an image file, or None (no display /
+    no ImageTk). The reference shows originals and results in in-window
+    canvases (gan_login_gui.py:2423-2638); this is our equivalent."""
+    try:
+        from PIL import Image, ImageTk
+
+        img = Image.open(path)
+        img.thumbnail((max_side, max_side))
+        return ImageTk.PhotoImage(img)
+    except Exception:
+        return None
+
+
 def main():
     import tkinter as tk
     from tkinter import filedialog, messagebox, ttk
@@ -242,8 +256,20 @@ def main():
             sel = {"path": None}
             img_label = ttk.Label(frame, text="no image selected")
             img_label.grid(row=0, column=0, columnspan=4, pady=4)
+            # side-by-side input/result previews (the reference displays
+            # both in in-window canvases)
+            in_panel = ttk.Label(frame, text="")
+            in_panel.grid(row=5, column=0, columnspan=2, pady=8)
+            out_panel = ttk.Label(frame, text="")
+            out_panel.grid(row=5, column=2, columnspan=2, pady=8)
             prog = ttk.Progressbar(frame, mode="indeterminate", length=300)
             prog.grid(row=99, column=0, columnspan=4, pady=8)
+
+            def show_panel(panel, path):
+                ph = _thumb(path)
+                if ph is not None:
+                    panel.configure(image=ph)
+                    panel.image = ph  # keep a ref or Tk drops it
 
             def choose():
                 p = filedialog.askopenfilename(filetypes=[
@@ -251,6 +277,7 @@ def main():
                 if p:
                     sel["path"] = p
                     img_label.config(text=os.path.basename(p))
+                    show_panel(in_panel, p)
 
             def run():
                 if state["busy"]:
@@ -266,8 +293,12 @@ def main():
                     try:
                         out = runner(sel["path"],
                                      {k: v.get() for k, v in controls.items()})
-                        root.after(0, lambda: messagebox.showinfo(
-                            "done", f"saved: {out}"))
+
+                        def done(out=out):
+                            show_panel(out_panel, out)
+                            messagebox.showinfo("done", f"saved: {out}")
+
+                        root.after(0, done)
                     except Exception as e:
                         root.after(0, lambda e=e: messagebox.showerror(
                             "error", str(e)))

@@ -71,3 +71,12 @@ def test_process_cyclegan(img_path, tmp_path):
     out = str(tmp_path / "cyc.png")
     _process_cyclegan(_StubModel(), img_path, out)
     _check_output(out)
+
+
+def test_thumb_headless_returns_none(img_path):
+    # without a Tk root / display, preview rendering degrades to None
+    # instead of raising into the worker thread
+    from multi_style_transfer_gan_tpu.gui.app import _thumb
+
+    _thumb(img_path)  # must not raise even with no display
+    assert _thumb("/nonexistent.png") is None
