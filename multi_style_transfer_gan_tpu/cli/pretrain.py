@@ -74,8 +74,10 @@ def main(argv=None):
     for epoch in range(start_epoch, args.num_epochs):
         t0 = time.time()
         for name, ds in (("monet", monet), ("photo", photo)):
-            it = ds.batches(args.batch_size, seed=args.seed + epoch, epochs=1)
-            it = ((to_model_range(jnp.asarray(b)),) for b in it)
+            it = ds.batches(args.batch_size, seed=args.seed + epoch, epochs=1,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
+            it = ((to_model_range(b),) for b in it)
             total, count = 0.0, 0
             for i, (imgs,) in enumerate(prefetch_to_device(it, sharding)):
                 mask_key, sub = jax.random.split(mask_key)

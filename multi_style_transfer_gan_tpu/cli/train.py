@@ -71,11 +71,16 @@ def main(argv=None):
 
     for epoch in range(args.num_epochs):
         t0 = time.time()
-        it_a = monet.batches(args.batch_size, seed=args.seed + epoch, epochs=1)
+        # batches stay host numpy until prefetch: on a multi-host pod each
+        # process decodes only its slice and prefetch assembles the global
+        # sharded array (make_array_from_process_local_data)
+        it_a = monet.batches(args.batch_size, seed=args.seed + epoch, epochs=1,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
         it_b = photo.batches(args.batch_size, seed=args.seed * 7 + epoch,
-                             epochs=1)
-        paired = ((to_model_range(jnp.asarray(a)),
-                   to_model_range(jnp.asarray(b)))
+                             epochs=1, process_index=jax.process_index(),
+                             process_count=jax.process_count())
+        paired = ((to_model_range(a), to_model_range(b))
                   for a, b in zip(it_a, it_b))
         for i, (xa, xb) in enumerate(prefetch_to_device(paired, sharding)):
             state, losses = step_fn(state, xa, xb)

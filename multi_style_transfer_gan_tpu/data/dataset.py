@@ -81,9 +81,22 @@ class ImageFolderDataset:
 
     def batches(self, batch_size: int, *, shuffle: bool = True,
                 seed: int = 42, drop_last: bool = True,
-                epochs: int | None = None) -> Iterator[np.ndarray]:
+                epochs: int | None = None, process_index: int = 0,
+                process_count: int = 1) -> Iterator[np.ndarray]:
         """Yield stacked uint8 batches (requires host_size for stacking,
-        or images of uniform size)."""
+        or images of uniform size).
+
+        ``batch_size`` is the GLOBAL batch. On a multi-host pod pass
+        ``process_index/process_count`` (defaults = single host): every
+        process shuffles with the same seed, so the strided slice
+        ``idxs[process_index::process_count]`` partitions each global batch
+        disjointly and each host only decodes its own images. Feed the
+        local batches through ``prefetch_to_device`` (multihost mode) to
+        assemble the global sharded array.
+        """
+        if batch_size % max(process_count, 1):
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"process count {process_count}")
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs is None or epoch < epochs:
@@ -94,7 +107,8 @@ class ImageFolderDataset:
                 idxs = order[i:i + batch_size]
                 if drop_last and len(idxs) < batch_size:
                     continue
-                imgs = [self._square(self.load(j)) for j in idxs]
+                local = idxs[process_index::process_count]
+                imgs = [self._square(self.load(j)) for j in local]
                 yield np.stack(imgs)
             epoch += 1
 
@@ -128,25 +142,39 @@ def random_patch_mask(key, batch_size: int, img_size: int = 256,
     return mask[..., None]
 
 
-def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2):
+def prefetch_to_device(iterator, sharding=None, buffer_size: int = 2,
+                       multihost: bool | None = None):
     """Async host->device feed: decode/stack on a worker thread, device_put
     ahead of consumption so the accelerator never idles on input.
 
     ``sharding`` is a NamedSharding (e.g. parallel.data_sharding(mesh)) for
-    multi-chip batch sharding; None = default placement.
+    multi-chip batch sharding; None = default placement. ``multihost``
+    (default: ``jax.process_count() > 1``) treats each item as this
+    process's slice of the global batch and assembles the global sharded
+    array via ``jax.make_array_from_process_local_data`` — pair it with
+    ``ImageFolderDataset.batches(process_index=..., process_count=...)``
+    so each host only decodes its own shard (DCN never carries pixels;
+    only each host's slice rides its local PCIe).
     """
+    if multihost is None:
+        multihost = jax.process_count() > 1
+    if multihost and sharding is None:
+        raise ValueError("multihost prefetch needs an explicit sharding")
+
+    def _put(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     _END = object()
 
     def worker():
         try:
             for item in iterator:
-                if sharding is not None:
-                    item = jax.tree.map(
-                        lambda x: jax.device_put(x, sharding), item)
-                else:
-                    item = jax.tree.map(jax.device_put, item)
-                q.put(item)
+                q.put(jax.tree.map(_put, item))
             q.put(_END)
         except BaseException as e:  # propagate to the consumer, don't swallow
             q.put(e)
