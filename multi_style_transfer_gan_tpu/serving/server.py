@@ -1,0 +1,231 @@
+"""Micro-batching style-transfer server.
+
+TPU-first serving design: the chip wants large, fixed-shape batches; HTTP
+requests arrive one at a time. The ``MicroBatcher`` bridges the two —
+handler threads enqueue decoded canvases, a single dispatch thread gathers
+up to ``max_batch`` of them (waiting at most ``max_wait_ms`` after the
+first), pads to the fixed batch shape, runs the ONE jitted
+uint8->uint8 program from ``pipelines.batch.make_batch_fn``, and hands
+each request its slice. Padding (instead of shape-polymorphic batches)
+means exactly one XLA compilation for the server's lifetime.
+
+The reference has no serving story (its online surface is the tkinter GUI,
+gan_login_gui.py; its batch script is offline). Endpoints:
+
+- ``POST /stylize`` body = image bytes (jpeg/png/bmp) -> stylized PNG,
+  processed with the server's configured mode/strength (the same knobs as
+  the batch CLI) and the reference's aspect-restore semantics
+  (batch_process_images.py:412-438).
+- ``GET /healthz`` -> 200 once the program is warmed up.
+- ``GET /stats`` -> JSON: request/batch counters, mean batch occupancy,
+  imgs/sec since start.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..ops import aspect_crop_bounds
+
+
+class _Slot:
+    __slots__ = ("canvas", "event", "result", "error")
+
+    def __init__(self, canvas):
+        self.canvas = canvas
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Gathers single-canvas requests into fixed-shape device batches.
+
+    ``run_fn``: the jitted (max_batch, C, C, 3) uint8 -> uint8 program.
+    """
+
+    def __init__(self, run_fn, canvas: int, max_batch: int = 8,
+                 max_wait_ms: float = 5.0):
+        self.run_fn = run_fn
+        self.canvas = canvas
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.q: queue.Queue[_Slot] = queue.Queue()
+        self.requests = 0
+        self.batches = 0
+        self.images = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def warmup(self):
+        """Compile the program before serving traffic."""
+        zeros = np.zeros((self.max_batch, self.canvas, self.canvas, 3),
+                         np.uint8)
+        np.asarray(self.run_fn(zeros))
+
+    def submit(self, canvas_u8: np.ndarray, timeout: float = 60.0):
+        slot = _Slot(canvas_u8)
+        self.requests += 1
+        self.q.put(slot)
+        if not slot.event.wait(timeout):
+            raise TimeoutError("stylize timed out")
+        if slot.error is not None:
+            raise slot.error
+        return slot.result
+
+    def close(self):
+        self._stop.set()
+        self.q.put(None)  # wake the loop
+        self._thread.join(timeout=5)
+
+    def _gather(self) -> list[_Slot]:
+        first = self.q.get()
+        if first is None:
+            return []
+        slots = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(slots) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            slots.append(nxt)
+        return slots
+
+    def _loop(self):
+        while not self._stop.is_set():
+            slots = self._gather()
+            if not slots:
+                continue
+            try:
+                batch = np.zeros(
+                    (self.max_batch, self.canvas, self.canvas, 3), np.uint8)
+                for i, s in enumerate(slots):
+                    batch[i] = s.canvas
+                out = np.asarray(self.run_fn(batch))
+                for i, s in enumerate(slots):
+                    s.result = out[i]
+            except BaseException as e:
+                for s in slots:
+                    s.error = e
+            finally:
+                self.batches += 1
+                self.images += len(slots)
+                for s in slots:
+                    s.event.set()
+
+
+class StyleTransferService:
+    """Decode -> micro-batch stylize -> aspect-restore encode, plus stats."""
+
+    def __init__(self, model, *, canvas: int = 256, max_batch: int = 8,
+                 max_wait_ms: float = 5.0, mode: str = "cyclegan",
+                 local_style_mode: str = "enhanced", strength: float = 0.8,
+                 detail: float = 0.7, enhance_colors: bool = True,
+                 smooth: bool = True, compute_dtype=None,
+                 fast_attention: bool = False, engine: str = "nhwc"):
+        from ..pipelines.batch import make_batch_fn
+
+        self.canvas = canvas
+        run_fn = make_batch_fn(model, mode, local_style_mode, strength,
+                               detail, enhance_colors, smooth,
+                               compute_dtype=compute_dtype,
+                               fast_attention=fast_attention, engine=engine)
+        self.batcher = MicroBatcher(run_fn, canvas, max_batch, max_wait_ms)
+        self.t0 = time.monotonic()
+
+    def warmup(self):
+        self.batcher.warmup()
+
+    def stylize_bytes(self, data: bytes) -> bytes:
+        """image bytes -> stylized PNG bytes (reference canvas + restore
+        semantics: white-canvas aspect paste in, aspect crop + <=1MP resize
+        back out, batch_process_images.py:186-200/412-438)."""
+        from PIL import Image
+
+        from ..pipelines.batch import _decode_canvas
+
+        canvas_u8, (w, h) = _decode_canvas(io.BytesIO(data), self.canvas)
+        out = self.batcher.submit(canvas_u8)
+        img = Image.fromarray(out)
+        l, t, r, b = aspect_crop_bounds(w, h, self.canvas)
+        if (l, t, r, b) != (0, 0, self.canvas, self.canvas):
+            img = img.crop((l, t, r, b))
+        if w * h <= 1024 * 1024:
+            img = img.resize((w, h), Image.LANCZOS)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def stats(self) -> dict:
+        b = self.batcher
+        elapsed = max(time.monotonic() - self.t0, 1e-9)
+        return {
+            "requests": b.requests,
+            "batches": b.batches,
+            "images": b.images,
+            "mean_batch_occupancy": b.images / max(b.batches, 1),
+            "images_per_sec": b.images / elapsed,
+            "max_batch": b.max_batch,
+            "canvas": self.canvas,
+        }
+
+    def close(self):
+        self.batcher.close()
+
+
+def _make_handler(service: StyleTransferService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; /stats has the counters
+            pass
+
+        def _send(self, code, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/stats":
+                self._send(200, json.dumps(service.stats()).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path.split("?")[0] != "/stylize":
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                png = service.stylize_bytes(self.rfile.read(n))
+                self._send(200, png, "image/png")
+            except Exception as e:
+                self._send(400, f"error: {e}".encode(), "text/plain")
+
+    return Handler
+
+
+def serve(service: StyleTransferService, host: str = "127.0.0.1",
+          port: int = 8000, warmup: bool = True) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call .serve_forever() or use the
+    CLI). ``port=0`` picks a free port (``server.server_address``)."""
+    if warmup:
+        service.warmup()
+    return ThreadingHTTPServer((host, port), _make_handler(service))
