@@ -74,7 +74,8 @@ class ModelManager:
 
 def _process_standard(model, img_path, out_path, *, blend_original=0.0,
                       fix_blocks=False, strength=0.8, smooth=2,
-                      enhance_colors=True, direction="photo2monet"):
+                      enhance_colors=True, adaptive_smooth=True,
+                      direction="photo2monet"):
     """Standard-tab worker chain (standard_process_thread, :769-907)."""
     import jax.numpy as jnp
 
@@ -102,7 +103,9 @@ def _process_standard(model, img_path, out_path, *, blend_original=0.0,
             out = out * jnp.asarray([1.0, 1.05, 1.1])
         else:
             out = convert_scale_abs(out, 1.1, 5)
-    if smooth > 0:
+    # smoothing is gated on BOTH the level and the adaptive-smooth toggle,
+    # exactly like the reference (gan_login_gui.py:858-864)
+    if adaptive_smooth and smooth > 0:
         out = gaussian_blur(out, 2 * int(smooth) + 1)
     return _finish_and_save(out, w, h, out_path)
 
@@ -322,6 +325,7 @@ def main():
             blend_original=float(c["blend"]) / 100.0,
             fix_blocks=bool(c["fix"]), strength=float(c["strength"]),
             smooth=int(float(c["smooth"])), enhance_colors=bool(c["colors"]),
+            adaptive_smooth=bool(c["adaptive"]),
             direction=c["direction"]), std_controls)
         std_controls["direction"] = tk.StringVar(value="photo2monet")
         ttk.Combobox(std_frame, textvariable=std_controls["direction"],
@@ -342,6 +346,10 @@ def main():
         std_controls["colors"] = tk.BooleanVar(value=True)
         ttk.Checkbutton(std_frame, text="enhance colors",
                         variable=std_controls["colors"]).grid(row=4, column=1)
+        std_controls["adaptive"] = tk.BooleanVar(value=True)
+        ttk.Checkbutton(std_frame, text="adaptive smooth",
+                        variable=std_controls["adaptive"]).grid(row=4,
+                                                                column=2)
 
         # local style tab
         def run_local(p, c):

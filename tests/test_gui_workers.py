@@ -80,3 +80,20 @@ def test_thumb_headless_returns_none(img_path):
 
     _thumb(img_path)  # must not raise even with no display
     assert _thumb("/nonexistent.png") is None
+
+
+def test_process_standard_adaptive_smooth_gate(img_path, tmp_path):
+    # adaptive_smooth=False must skip the Gaussian even with smooth>0
+    # (gan_login_gui.py:858-864)
+    import numpy as np
+    from PIL import Image
+
+    out_a = str(tmp_path / "sm_on.png")
+    out_b = str(tmp_path / "sm_off.png")
+    _process_standard(_StubModel(), img_path, out_a, strength=0.5, smooth=5,
+                      enhance_colors=False, adaptive_smooth=True)
+    _process_standard(_StubModel(), img_path, out_b, strength=0.5, smooth=5,
+                      enhance_colors=False, adaptive_smooth=False)
+    a = np.asarray(Image.open(out_a), np.float32)
+    b = np.asarray(Image.open(out_b), np.float32)
+    assert np.abs(a - b).mean() > 0.5  # blur changed the output
