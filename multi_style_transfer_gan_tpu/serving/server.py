@@ -61,9 +61,21 @@ class MicroBatcher:
         self.requests = 0
         self.batches = 0
         self.images = 0
+        self._ema_batch_s = 0.0  # measured dispatch->resolved duration
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        # two-stage pipeline: the dispatch thread gathers + launches device
+        # batches; the resolver thread fetches results and wakes requesters.
+        # Decoupling them means a resolve never waits on the next gather
+        # (which would deadlock the clients blocked on that resolve) and the
+        # device->host fetch overlaps the next batch's assembly/compute.
+        # maxsize=1 gives depth-2 in-flight backpressure.
+        self._out_q: queue.Queue = queue.Queue(maxsize=1)
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._resolver = threading.Thread(target=self._resolve_loop,
+                                          daemon=True)
+        self._dispatcher.start()
+        self._resolver.start()
 
     def warmup(self):
         """Compile the program before serving traffic."""
@@ -83,15 +95,22 @@ class MicroBatcher:
 
     def close(self):
         self._stop.set()
-        self.q.put(None)  # wake the loop
-        self._thread.join(timeout=5)
+        self.q.put(None)  # wake the dispatcher
+        self._dispatcher.join(timeout=5)
+        self._out_q.put(None)  # wake the resolver after the last batch
+        self._resolver.join(timeout=5)
 
-    def _gather(self) -> list[_Slot]:
-        first = self.q.get()
+    def _gather(self, first_timeout: float | None = None,
+                fill_wait: float | None = None) -> list[_Slot]:
+        try:
+            first = self.q.get(timeout=first_timeout)
+        except queue.Empty:
+            return []
         if first is None:
             return []
         slots = [first]
-        deadline = time.monotonic() + self.max_wait
+        deadline = time.monotonic() + (fill_wait if fill_wait is not None
+                                       else self.max_wait)
         while len(slots) < self.max_batch:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
@@ -105,9 +124,37 @@ class MicroBatcher:
             slots.append(nxt)
         return slots
 
-    def _loop(self):
+    def _resolve(self, slots, pending_out):
+        """Fetch a dispatched batch to host and wake its requests."""
+        try:
+            out = np.asarray(pending_out)
+            for i, s in enumerate(slots):
+                s.result = out[i]
+        except BaseException as e:
+            for s in slots:
+                s.error = e
+        finally:
+            self.batches += 1
+            self.images += len(slots)
+            for s in slots:
+                s.event.set()
+
+    def _dispatch_loop(self):
+        in_flight = False
         while not self._stop.is_set():
-            slots = self._gather()
+            # while a batch is in flight the device is busy for ~one batch
+            # duration anyway, so keep filling up to that long (EMA of
+            # measured batch times) — bigger batches amortize the fixed
+            # dispatch/fetch cost. When idle, dispatch after max_wait for
+            # latency.
+            if in_flight:
+                fill = max(self.max_wait, self._ema_batch_s)
+                slots = self._gather(first_timeout=fill, fill_wait=fill)
+                if not slots:
+                    in_flight = False
+                    continue
+            else:
+                slots = self._gather()
             if not slots:
                 continue
             try:
@@ -115,17 +162,27 @@ class MicroBatcher:
                     (self.max_batch, self.canvas, self.canvas, 3), np.uint8)
                 for i, s in enumerate(slots):
                     batch[i] = s.canvas
-                out = np.asarray(self.run_fn(batch))
-                for i, s in enumerate(slots):
-                    s.result = out[i]
+                t0 = time.monotonic()
+                out = self.run_fn(batch)  # async dispatch
             except BaseException as e:
                 for s in slots:
                     s.error = e
-            finally:
+                    s.event.set()
                 self.batches += 1
                 self.images += len(slots)
-                for s in slots:
-                    s.event.set()
+                continue
+            self._out_q.put((slots, out, t0))  # blocks at depth 2
+            in_flight = True
+
+    def _resolve_loop(self):
+        while True:
+            item = self._out_q.get()
+            if item is None:
+                return
+            slots, out, t0 = item
+            self._resolve(slots, out)
+            self._ema_batch_s = (0.7 * self._ema_batch_s
+                                 + 0.3 * (time.monotonic() - t0))
 
 
 class StyleTransferService:
