@@ -131,14 +131,21 @@ def _finish_and_save(res, w, h, out_path):
 
 
 def _process_local(model, img_path, out_path, *, mode="enhanced",
-                   strength=0.5, detail=0.6):
+                   strength=0.5, detail=0.6, sky_handling=True,
+                   enhance_colors=True, smooth_transitions=True,
+                   direction="photo2monet"):
     """Local-style-tab worker (local_style_process_thread, :1259-1530).
 
     mode: simple/enhanced/advanced (the GUI blend recipes) or
-    enhanced_segmentation (the full felzenszwalb pipeline)."""
+    enhanced_segmentation (the full felzenszwalb pipeline). The toggles
+    mirror the tab's checkboxes: sky handling (:1055-1057, gates the blue
+    sky mask at :1334), enhance colors (:1410-1418: photo2monet channel
+    boost, else convertScaleAbs), smooth transitions (:1421-1423:
+    bilateral 9/75/75)."""
     import jax.numpy as jnp
 
     from ..ops import to_model_range, from_model_range
+    from ..ops.filters import bilateral_filter, convert_scale_abs
     from ..pipelines.batch import _decode_canvas, _postprocess
 
     if mode == "enhanced_segmentation":
@@ -156,11 +163,19 @@ def _process_local(model, img_path, out_path, *, mode="enhanced",
 
         res = gui_local_style_blend(
             jnp.asarray(canvas, jnp.float32)[None], styled,
-            float(strength), float(detail))[0]
+            float(strength), float(detail),
+            sky_handling=bool(sky_handling))[0]
+        if enhance_colors:
+            if direction == "photo2monet":
+                res = jnp.clip(res * jnp.asarray([1.0, 1.05, 1.1]), 0, 255)
+            else:
+                res = convert_scale_abs(res, 1.1, 5)
+        if smooth_transitions:
+            res = bilateral_filter(res, 9, 75, 75)
     else:
         res = _postprocess(jnp.asarray(canvas, jnp.float32)[None], styled,
-                           mode, float(strength), float(detail), True,
-                           True)[0]
+                           mode, float(strength), float(detail),
+                           bool(enhance_colors), bool(smooth_transitions))[0]
     return _finish_and_save(res, w, h, out_path)
 
 
@@ -357,7 +372,10 @@ def main():
                 manager.pick("enhanced", c["direction"]), p,
                 os.path.join(OUTPUT_DIR, f"local_{os.path.basename(p)}"),
                 mode=c["mode"], strength=float(c["strength"]),
-                detail=float(c["detail"]))
+                detail=float(c["detail"]), sky_handling=bool(c["sky"]),
+                enhance_colors=bool(c["colors"]),
+                smooth_transitions=bool(c["smooth"]),
+                direction=c["direction"])
 
         ls_controls = {}
         ls_frame = make_tab("local style", run_local, ls_controls)
@@ -375,6 +393,15 @@ def main():
         ls_controls["detail"] = tk.DoubleVar(value=0.6)
         ttk.Scale(ls_frame, from_=0.3, to=0.9,
                   variable=ls_controls["detail"]).grid(row=3, column=1)
+        ls_controls["sky"] = tk.BooleanVar(value=True)
+        ttk.Checkbutton(ls_frame, text="sky handling",
+                        variable=ls_controls["sky"]).grid(row=4, column=0)
+        ls_controls["colors"] = tk.BooleanVar(value=True)
+        ttk.Checkbutton(ls_frame, text="enhance colors",
+                        variable=ls_controls["colors"]).grid(row=4, column=1)
+        ls_controls["smooth"] = tk.BooleanVar(value=True)
+        ttk.Checkbutton(ls_frame, text="smooth transitions",
+                        variable=ls_controls["smooth"]).grid(row=4, column=2)
 
         # cyclegan tab
         def run_cyc(p, c):

@@ -97,3 +97,23 @@ def test_process_standard_adaptive_smooth_gate(img_path, tmp_path):
     a = np.asarray(Image.open(out_a), np.float32)
     b = np.asarray(Image.open(out_b), np.float32)
     assert np.abs(a - b).mean() > 0.5  # blur changed the output
+
+
+def test_process_local_toggles(img_path, tmp_path):
+    # sky/colors/smooth toggles change the enhanced-mode output
+    # (gan_login_gui.py:1334,1410-1423)
+    import numpy as np
+    from PIL import Image
+
+    outs = {}
+    for name, kw in (
+        ("all_on", {}),
+        ("no_smooth", {"smooth_transitions": False}),
+        ("no_colors", {"smooth_transitions": False, "enhance_colors": False}),
+    ):
+        p = str(tmp_path / f"{name}.png")
+        _process_local(_StubModel(), img_path, p, mode="enhanced",
+                       strength=0.5, detail=0.6, **kw)
+        outs[name] = np.asarray(Image.open(p), np.float32)
+    assert np.abs(outs["all_on"] - outs["no_smooth"]).mean() > 0.1
+    assert np.abs(outs["no_smooth"] - outs["no_colors"]).mean() > 0.1
