@@ -34,9 +34,11 @@ def main(argv=None):
     import os
     out_dir = os.path.dirname(os.path.abspath(args.output)) or "."
     if args.test_sizes:
-        print(test_different_sizes(model, args.image, out_dir))
+        print(test_different_sizes(model, args.image, out_dir,
+                                   spatial=args.spatial))
     elif args.test_skip:
-        print(try_skip_connections(model, args.image, out_dir))
+        print(try_skip_connections(model, args.image, out_dir,
+                                   spatial=args.spatial))
     else:
         transform_image(model, args.image, args.output, size=args.size,
                         spatial=args.spatial)

@@ -29,6 +29,14 @@ def main(argv=None):
                    default="enhanced")
     p.add_argument("--strength", type=float, default=0.8)
     p.add_argument("--detail", type=float, default=0.7)
+    p.add_argument("--enhance_colors", action="store_true", default=True)
+    p.add_argument("--no_enhance_colors", dest="enhance_colors",
+                   action="store_false")
+    p.add_argument("--smooth", action="store_true", default=True)
+    p.add_argument("--no_smooth", dest="smooth", action="store_false")
+    p.add_argument("--max_queue", type=int, default=None,
+                   help="admission bound (default 4 batches; beyond it "
+                        "requests get 503)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fast_attention", action="store_true")
     p.add_argument("--engine", choices=["nhwc", "packed"], default="nhwc")
@@ -50,9 +58,11 @@ def main(argv=None):
         model, canvas=args.canvas, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, mode=args.mode,
         local_style_mode=args.local_style_mode, strength=args.strength,
-        detail=args.detail,
+        detail=args.detail, enhance_colors=args.enhance_colors,
+        smooth=args.smooth,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        fast_attention=args.fast_attention, engine=args.engine)
+        fast_attention=args.fast_attention, engine=args.engine,
+        max_queue=args.max_queue)
     print("warming up (one compile of the fixed batch shape)...")
     server = serve(service, args.host, args.port)
     print(f"serving on http://{server.server_address[0]}:"

@@ -114,17 +114,11 @@ def _finish_and_save(res, w, h, out_path):
     """Clamp, aspect-crop, restore original size (<=1MP), save — the shared
     tail of every GUI worker (gan_login_gui.py:874-899)."""
     import jax.numpy as jnp
-    from PIL import Image
 
-    from ..ops import aspect_crop_bounds
+    from ..ops import restore_aspect
 
-    img = Image.fromarray(
-        np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8))
-    l, t, r, b = aspect_crop_bounds(w, h, 256)
-    if (l, t, r, b) != (0, 0, 256, 256):
-        img = img.crop((l, t, r, b))
-    if w * h <= 1024 * 1024:
-        img = img.resize((w, h), Image.LANCZOS)
+    out_u8 = np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8)
+    img = restore_aspect(out_u8, (w, h), 256)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     img.save(out_path)
     return out_path

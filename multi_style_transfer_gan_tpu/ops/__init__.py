@@ -9,11 +9,11 @@ waits on the host; cv2 remains available host-side as a verification oracle.
 
 from .image import (
     normalize_to_unit, denormalize_from_unit, to_model_range, from_model_range,
-    resize, canvas_paste, resize_center_crop, aspect_crop_bounds,
+    resize, canvas_paste, resize_center_crop, aspect_crop_bounds, restore_aspect,
 )
 
 __all__ = [
     "normalize_to_unit", "denormalize_from_unit",
     "to_model_range", "from_model_range",
-    "resize", "canvas_paste", "resize_center_crop", "aspect_crop_bounds",
+    "resize", "canvas_paste", "resize_center_crop", "aspect_crop_bounds", "restore_aspect",
 ]

@@ -163,3 +163,22 @@ def aspect_crop_bounds(orig_w: int, orig_h: int, canvas: int = 256):
     left = (canvas - cw) // 2
     top = (canvas - ch) // 2
     return left, top, left + cw, top + ch
+
+
+def restore_aspect(out_u8, orig_wh, canvas: int = 256):
+    """The shared restore tail of every save path (batch, GUI, serving):
+    aspect-crop the canvas output back to the source's aspect ratio, and
+    resize to the original size when it is <=1MP
+    (batch_process_images.py:412-438). Takes a HWC uint8 array (or
+    anything PIL accepts via fromarray), returns a PIL image."""
+    import numpy as np
+    from PIL import Image
+
+    w, h = orig_wh
+    img = Image.fromarray(np.asarray(out_u8))
+    l, t, r, b = aspect_crop_bounds(w, h, canvas)
+    if (l, t, r, b) != (0, 0, canvas, canvas):
+        img = img.crop((l, t, r, b))
+    if w * h <= 1024 * 1024:
+        img = img.resize((w, h), Image.LANCZOS)
+    return img

@@ -40,13 +40,23 @@ def make_mesh_for_batch(batch_size: int,
                         devices: Sequence | None = None) -> Mesh:
     """Largest data-parallel mesh whose data axis divides ``batch_size``.
 
-    Training CLIs use this so any batch size works on any device count
-    (dp = gcd(batch, n_devices)); devices beyond dp are left out rather
-    than producing an un-shardable batch.
+    Single host: dp = gcd(batch, n_devices); devices beyond dp are left
+    out rather than producing an un-shardable batch. Multi-host pods
+    can't drop devices (every process must own addressable shards for
+    ``make_array_from_process_local_data``), so there the batch must
+    divide evenly over ALL devices — validated here instead of failing
+    deep inside the first prefetch.
     """
     import math
 
     devices = list(devices if devices is not None else jax.devices())
+    if jax.process_count() > 1:
+        if batch_size % len(devices):
+            raise ValueError(
+                f"multi-host: global batch {batch_size} must be divisible "
+                f"by the pod's {len(devices)} devices (a partial mesh would "
+                f"leave some processes with no addressable shards)")
+        return make_mesh(devices, (len(devices), 1))
     dp = math.gcd(max(batch_size, 1), len(devices)) or 1
     return make_mesh(devices[:dp], (dp, 1))
 

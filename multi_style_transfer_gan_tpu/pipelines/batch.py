@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data import list_images
-from ..ops import to_model_range, from_model_range, aspect_crop_bounds
+from ..ops import to_model_range, from_model_range, restore_aspect
 from ..ops.color import rgb_to_hsv, rgb_to_gray, rgb_to_yuv, yuv_to_rgb
 from ..ops.filters import (
     canny, gaussian_filter, gaussian_blur, dilate, erode,
@@ -68,13 +68,7 @@ def _decode_canvas(path, canvas=CANVAS, fill=255):
 
 def _restore_and_save(out_u8, orig_wh, out_path, canvas=CANVAS):
     """Aspect crop + resize back if <=1MP + save (:412-438)."""
-    w, h = orig_wh
-    img = Image.fromarray(out_u8)
-    l, t, r, b = aspect_crop_bounds(w, h, canvas)
-    if (l, t, r, b) != (0, 0, canvas, canvas):
-        img = img.crop((l, t, r, b))
-    if w * h <= 1024 * 1024:
-        img = img.resize((w, h), Image.LANCZOS)
+    img = restore_aspect(out_u8, orig_wh, canvas)
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     img.save(out_path)
 

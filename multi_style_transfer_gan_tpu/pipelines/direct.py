@@ -54,7 +54,7 @@ def transform_image(model: LoadedModel, image_path, output_path=None,
 
 
 def test_different_sizes(model: LoadedModel, image_path, output_dir,
-                         sizes=(128, 256, 512, 768)):
+                         sizes=(128, 256, 512, 768), spatial: int = 0):
     """Size sweep + comparison grid (direct_transform.py:81-118)."""
     import matplotlib
     matplotlib.use("Agg")
@@ -64,7 +64,8 @@ def test_different_sizes(model: LoadedModel, image_path, output_dir,
     outs = {}
     for s in sizes:
         out_path = os.path.join(output_dir, f"size_{s}.png")
-        outs[s] = transform_image(model, image_path, out_path, size=s)
+        outs[s] = transform_image(model, image_path, out_path, size=s,
+                                  spatial=spatial)
 
     fig, axes = plt.subplots(1, len(sizes) + 1,
                              figsize=(4 * (len(sizes) + 1), 4))
@@ -83,7 +84,8 @@ def test_different_sizes(model: LoadedModel, image_path, output_dir,
 
 
 def try_skip_connections(model: LoadedModel, image_path, output_dir,
-                         blends=(0.5, 0.3, 0.1), size: int = 256):
+                         blends=(0.5, 0.3, 0.1), size: int = 256,
+                         spatial: int = 0):
     """Input-blend ablation (direct_transform.py:120-199): output blended
     with the resized input at the given original-image ratios."""
     import matplotlib
@@ -93,7 +95,11 @@ def try_skip_connections(model: LoadedModel, image_path, output_dir,
     os.makedirs(output_dir, exist_ok=True)
     img = _load_rgb(image_path)
     x01 = resize(jnp.asarray(img, jnp.float32) / 255.0, (size, size))
-    y01 = from_model_range(model.apply(to_model_range(x01)[None]))[0]
+    apply = model.apply
+    if spatial and spatial > 1:
+        from ..parallel import spatial_apply
+        apply = spatial_apply(model, n_devices=spatial)
+    y01 = from_model_range(apply(to_model_range(x01)[None]))[0]
 
     fig, axes = plt.subplots(1, len(blends) + 2,
                              figsize=(4 * (len(blends) + 2), 4))

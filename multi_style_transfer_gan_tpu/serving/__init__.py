@@ -8,6 +8,6 @@ exactly ONE compiled program), stylized in one device call, and restored
 per request. See ``serving.server``.
 """
 
-from .server import MicroBatcher, StyleTransferService, serve
+from .server import MicroBatcher, Overloaded, StyleTransferService, serve
 
-__all__ = ["MicroBatcher", "StyleTransferService", "serve"]
+__all__ = ["MicroBatcher", "Overloaded", "StyleTransferService", "serve"]

@@ -32,36 +32,47 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from ..ops import aspect_crop_bounds
+
+class Overloaded(Exception):
+    """Request shed: the batcher's queue is at capacity (HTTP 503)."""
 
 
 class _Slot:
-    __slots__ = ("canvas", "event", "result", "error")
+    __slots__ = ("canvas", "event", "result", "error", "abandoned")
 
     def __init__(self, canvas):
         self.canvas = canvas
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.abandoned = False  # requester gave up; skip, don't compute
 
 
 class MicroBatcher:
     """Gathers single-canvas requests into fixed-shape device batches.
 
     ``run_fn``: the jitted (max_batch, C, C, 3) uint8 -> uint8 program.
+    ``max_queue`` bounds admission (default 4 batches' worth): beyond it
+    ``submit`` raises ``Overloaded`` immediately instead of growing an
+    unbounded backlog, and requesters that time out mark their slot
+    abandoned so the device never computes work nobody will read.
     """
 
     def __init__(self, run_fn, canvas: int, max_batch: int = 8,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_queue: int | None = None):
         self.run_fn = run_fn
         self.canvas = canvas
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
-        self.q: queue.Queue[_Slot] = queue.Queue()
+        self.q: queue.Queue[_Slot] = queue.Queue(
+            maxsize=max_queue if max_queue is not None else 4 * max_batch)
         self.requests = 0
         self.batches = 0
         self.images = 0
+        self.shed = 0
+        self._lock = threading.Lock()  # guards the counters above
         self._ema_batch_s = 0.0  # measured dispatch->resolved duration
+        self._in_flight = 0      # batches dispatched but not yet resolved
         self._stop = threading.Event()
         # two-stage pipeline: the dispatch thread gathers + launches device
         # batches; the resolver thread fetches results and wakes requesters.
@@ -85,9 +96,16 @@ class MicroBatcher:
 
     def submit(self, canvas_u8: np.ndarray, timeout: float = 60.0):
         slot = _Slot(canvas_u8)
-        self.requests += 1
-        self.q.put(slot)
+        try:
+            self.q.put_nowait(slot)
+        except queue.Full:
+            with self._lock:
+                self.shed += 1
+            raise Overloaded("request queue full") from None
+        with self._lock:
+            self.requests += 1
         if not slot.event.wait(timeout):
+            slot.abandoned = True  # barrier-free: worst case one extra slice
             raise TimeoutError("stylize timed out")
         if slot.error is not None:
             raise slot.error
@@ -134,27 +152,26 @@ class MicroBatcher:
             for s in slots:
                 s.error = e
         finally:
-            self.batches += 1
-            self.images += len(slots)
+            with self._lock:
+                self.batches += 1
+                self.images += len(slots)
             for s in slots:
                 s.event.set()
 
     def _dispatch_loop(self):
-        in_flight = False
         while not self._stop.is_set():
             # while a batch is in flight the device is busy for ~one batch
             # duration anyway, so keep filling up to that long (EMA of
             # measured batch times) — bigger batches amortize the fixed
             # dispatch/fetch cost. When idle, dispatch after max_wait for
-            # latency.
-            if in_flight:
+            # latency. The resolver decrements _in_flight, so a lone
+            # request after a burst is not held once the device drains.
+            if self._in_flight > 0:
                 fill = max(self.max_wait, self._ema_batch_s)
                 slots = self._gather(first_timeout=fill, fill_wait=fill)
-                if not slots:
-                    in_flight = False
-                    continue
             else:
                 slots = self._gather()
+            slots = [s for s in slots if not s.abandoned]
             if not slots:
                 continue
             try:
@@ -168,11 +185,13 @@ class MicroBatcher:
                 for s in slots:
                     s.error = e
                     s.event.set()
-                self.batches += 1
-                self.images += len(slots)
+                with self._lock:
+                    self.batches += 1
+                    self.images += len(slots)
                 continue
+            with self._lock:
+                self._in_flight += 1
             self._out_q.put((slots, out, t0))  # blocks at depth 2
-            in_flight = True
 
     def _resolve_loop(self):
         while True:
@@ -181,8 +200,10 @@ class MicroBatcher:
                 return
             slots, out, t0 = item
             self._resolve(slots, out)
-            self._ema_batch_s = (0.7 * self._ema_batch_s
-                                 + 0.3 * (time.monotonic() - t0))
+            with self._lock:
+                self._in_flight -= 1
+                self._ema_batch_s = (0.7 * self._ema_batch_s
+                                     + 0.3 * (time.monotonic() - t0))
 
 
 class StyleTransferService:
@@ -193,7 +214,8 @@ class StyleTransferService:
                  local_style_mode: str = "enhanced", strength: float = 0.8,
                  detail: float = 0.7, enhance_colors: bool = True,
                  smooth: bool = True, compute_dtype=None,
-                 fast_attention: bool = False, engine: str = "nhwc"):
+                 fast_attention: bool = False, engine: str = "nhwc",
+                 max_queue: int | None = None):
         from ..pipelines.batch import make_batch_fn
 
         self.canvas = canvas
@@ -201,28 +223,32 @@ class StyleTransferService:
                                detail, enhance_colors, smooth,
                                compute_dtype=compute_dtype,
                                fast_attention=fast_attention, engine=engine)
-        self.batcher = MicroBatcher(run_fn, canvas, max_batch, max_wait_ms)
+        self.batcher = MicroBatcher(run_fn, canvas, max_batch, max_wait_ms,
+                                    max_queue=max_queue)
         self.t0 = time.monotonic()
 
     def warmup(self):
         self.batcher.warmup()
+        self.t0 = time.monotonic()  # don't bill compile time to imgs/sec
 
     def stylize_bytes(self, data: bytes) -> bytes:
         """image bytes -> stylized PNG bytes (reference canvas + restore
         semantics: white-canvas aspect paste in, aspect crop + <=1MP resize
-        back out, batch_process_images.py:186-200/412-438)."""
-        from PIL import Image
+        back out, batch_process_images.py:186-200/412-438).
 
+        Raises ValueError for undecodable request bodies (a client error);
+        Overloaded / TimeoutError when shedding; anything else is a server
+        fault.
+        """
+        from ..ops.image import restore_aspect
         from ..pipelines.batch import _decode_canvas
 
-        canvas_u8, (w, h) = _decode_canvas(io.BytesIO(data), self.canvas)
+        try:
+            canvas_u8, (w, h) = _decode_canvas(io.BytesIO(data), self.canvas)
+        except Exception as e:
+            raise ValueError(f"undecodable image: {e}") from e
         out = self.batcher.submit(canvas_u8)
-        img = Image.fromarray(out)
-        l, t, r, b = aspect_crop_bounds(w, h, self.canvas)
-        if (l, t, r, b) != (0, 0, self.canvas, self.canvas):
-            img = img.crop((l, t, r, b))
-        if w * h <= 1024 * 1024:
-            img = img.resize((w, h), Image.LANCZOS)
+        img = restore_aspect(out, (w, h), self.canvas)
         buf = io.BytesIO()
         img.save(buf, format="PNG")
         return buf.getvalue()
@@ -234,6 +260,7 @@ class StyleTransferService:
             "requests": b.requests,
             "batches": b.batches,
             "images": b.images,
+            "shed": b.shed,
             "mean_batch_occupancy": b.images / max(b.batches, 1),
             "images_per_sec": b.images / elapsed,
             "max_batch": b.max_batch,
@@ -273,8 +300,12 @@ def _make_handler(service: StyleTransferService):
                 n = int(self.headers.get("Content-Length", 0))
                 png = service.stylize_bytes(self.rfile.read(n))
                 self._send(200, png, "image/png")
-            except Exception as e:
+            except ValueError as e:       # bad request body
                 self._send(400, f"error: {e}".encode(), "text/plain")
+            except (Overloaded, TimeoutError) as e:  # shedding: retryable
+                self._send(503, f"error: {e}".encode(), "text/plain")
+            except Exception as e:        # server fault
+                self._send(500, f"error: {e}".encode(), "text/plain")
 
     return Handler
 

@@ -80,3 +80,15 @@ def test_random_patch_mask_law():
     assert (m == m[:, :, :1, :, :1]).all()
     keep = m[:, :, 0, :, 0].mean()
     assert 0.55 < keep < 0.65  # E[keep] = 0.6
+
+
+def test_make_mesh_for_batch_multihost_validation(monkeypatch):
+    # multi-host pods must not silently drop devices (every process needs
+    # addressable shards for make_array_from_process_local_data)
+    from multi_style_transfer_gan_tpu.parallel import make_mesh_for_batch
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh_for_batch(12, devices=jax.devices())  # 12 % 8 != 0
+    mesh = make_mesh_for_batch(16, devices=jax.devices())
+    assert mesh.shape["data"] == 8  # full pod, no dropped devices

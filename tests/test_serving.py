@@ -2,6 +2,7 @@
 
 import io
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -123,3 +124,76 @@ def test_http_server_end_to_end(model):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_overload_shedding():
+    from multi_style_transfer_gan_tpu.serving import Overloaded
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def run_fn(batch):
+        started.set()
+        assert release.wait(10)
+        return batch
+
+    b = MicroBatcher(run_fn, canvas=4, max_batch=2, max_wait_ms=2.0,
+                     max_queue=2)
+    try:
+        results = {}
+
+        def post(i):
+            try:
+                results[i] = b.submit(np.full((4, 4, 3), i, np.uint8),
+                                      timeout=30)
+            except Exception as e:
+                results[i] = e
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in (1, 2, 3)]
+        threads[0].start()
+        assert started.wait(5)  # batch [1] dispatched, device "busy"
+        for t in threads[1:]:
+            t.start()
+        time.sleep(0.2)  # 2 and 3 now occupy the bounded queue
+        with pytest.raises(Overloaded):
+            b.submit(np.full((4, 4, 3), 4, np.uint8))
+        release.set()
+        for t in threads:
+            t.join(10)
+        for i in (1, 2, 3):
+            np.testing.assert_array_equal(results[i],
+                                          np.full((4, 4, 3), i, np.uint8))
+        assert b.shed == 1
+    finally:
+        b.close()
+
+
+def test_abandoned_requests_are_skipped():
+    release = threading.Event()
+    started = threading.Event()
+
+    def run_fn(batch):
+        started.set()
+        assert release.wait(10)
+        return batch
+
+    b = MicroBatcher(run_fn, canvas=4, max_batch=2, max_wait_ms=2.0)
+    try:
+        res1 = {}
+        t1 = threading.Thread(target=lambda: res1.update(
+            r=b.submit(np.ones((4, 4, 3), np.uint8), timeout=30)))
+        t1.start()
+        assert started.wait(5)
+        # this requester gives up while its slot is still queued
+        with pytest.raises(TimeoutError):
+            b.submit(np.full((4, 4, 3), 2, np.uint8), timeout=0.05)
+        release.set()
+        t1.join(10)
+        assert res1["r"] is not None
+        # a later request still works and the abandoned slot was never
+        # computed (images counts only delivered work)
+        out = b.submit(np.full((4, 4, 3), 3, np.uint8), timeout=30)
+        np.testing.assert_array_equal(out, np.full((4, 4, 3), 3, np.uint8))
+        assert b.images == 2
+    finally:
+        b.close()
