@@ -27,10 +27,13 @@ def main(argv=None):
                    help="checkpoint to resume from (pretrain_resume parity)")
     p.add_argument("--checkpoint_every", type=int, default=50)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--metrics_log", type=str, default=None,
+                   help="append one JSON line per logged step/epoch here")
     args = p.parse_args(argv)
 
-    from ..utils import enable_compilation_cache
+    from ..utils import enable_compilation_cache, MetricsLogger
     enable_compilation_cache()
+    metrics = MetricsLogger(args.metrics_log)
 
     import jax
     import jax.numpy as jnp
@@ -42,7 +45,7 @@ def main(argv=None):
     from ..train import (
         pretrain_init_state, pretrain_train_step, save_pretrain_checkpoint,
     )
-    from ..train.pretrain import PretrainState, make_pretrain_optimizer
+    from ..train.pretrain import PretrainState
     from ..weights import load_pth, extract_state_dict, plain_generator_from_sd
 
     monet = ImageFolderDataset(args.data_root, "A", host_size=256)
@@ -67,7 +70,9 @@ def main(argv=None):
     mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
-    step_fn = jax.jit(lambda s, x, k: pretrain_train_step(s, tx, x, k))
+    # donate the state: in-place param/opt buffer reuse on device
+    step_fn = jax.jit(lambda s, x, k: pretrain_train_step(s, tx, x, k),
+                      donate_argnums=0)
 
     os.makedirs(args.save_dir, exist_ok=True)
     mask_key = jax.random.PRNGKey(args.seed + 1)
@@ -87,9 +92,13 @@ def main(argv=None):
                 if (i + 1) % args.log_every == 0:
                     print(f"  epoch {epoch + 1} [{name}] step {i + 1}: "
                           f"loss {total / count:.4f}")
+                    metrics.log(epoch=epoch + 1, domain=name, step=i + 1,
+                                loss=total / count)
             if count:
                 print(f"epoch {epoch + 1} [{name}]: mean loss "
                       f"{total / count:.4f}")
+                metrics.log(epoch=epoch + 1, domain=name,
+                            mean_loss=total / count)
         if (epoch + 1) % args.checkpoint_every == 0:
             path = os.path.join(args.save_dir,
                                 f"generator_pretrain_epoch_{epoch + 1}.pth")
@@ -97,6 +106,7 @@ def main(argv=None):
             print(f"checkpoint saved: {path}")
         print(f"epoch {epoch + 1}/{args.num_epochs} done "
               f"({time.time() - t0:.1f}s)")
+    metrics.close()
 
 
 if __name__ == "__main__":

@@ -28,10 +28,13 @@ def main(argv=None):
     p.add_argument("--fast_attention", action="store_true",
                    help="fused Pallas kernels for generator forwards "
                         "(XLA-formulation backward via custom_vjp)")
+    p.add_argument("--metrics_log", type=str, default=None,
+                   help="append one JSON line per logged step/epoch here")
     args = p.parse_args(argv)
 
-    from ..utils import enable_compilation_cache
+    from ..utils import enable_compilation_cache, MetricsLogger
     enable_compilation_cache()
+    metrics = MetricsLogger(args.metrics_log)
 
     import jax
     import jax.numpy as jnp
@@ -65,9 +68,11 @@ def main(argv=None):
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # donate the state: XLA updates params/opt/sn buffers in place instead
+    # of allocating a second copy of every train-state array each step
     step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
         s, a, b, g_tx, d_tx, compute_dtype=dtype,
-        fast_attention=args.fast_attention))
+        fast_attention=args.fast_attention), donate_argnums=0)
 
     for epoch in range(args.num_epochs):
         t0 = time.time()
@@ -82,17 +87,23 @@ def main(argv=None):
                              process_count=jax.process_count())
         paired = ((to_model_range(a), to_model_range(b))
                   for a, b in zip(it_a, it_b))
+        steps = 0
         for i, (xa, xb) in enumerate(prefetch_to_device(paired, sharding)):
             state, losses = step_fn(state, xa, xb)
+            steps = i + 1
             if (i + 1) % args.log_every == 0:
-                msg = " ".join(f"{k}={float(v):.4f}"
-                               for k, v in losses.items())
+                vals = {k: float(v) for k, v in losses.items()}
+                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items())
                 print(f"epoch {epoch + 1} step {i + 1}: {msg}")
+                metrics.log(epoch=epoch + 1, step=i + 1, **vals)
         if (epoch + 1) % args.checkpoint_every == 0:
             save_models(jax.device_get(state), args.save_dir, epoch + 1)
             print(f"checkpoints saved at epoch {epoch + 1}")
-        print(f"epoch {epoch + 1}/{args.num_epochs} done "
-              f"({time.time() - t0:.1f}s)")
+        dt = time.time() - t0
+        print(f"epoch {epoch + 1}/{args.num_epochs} done ({dt:.1f}s)")
+        metrics.log(epoch=epoch + 1, epoch_seconds=dt,
+                    img_pairs_per_sec=steps * args.batch_size / max(dt, 1e-9))
+    metrics.close()
 
 
 if __name__ == "__main__":

@@ -25,8 +25,6 @@ Faithful-behavior notes (verified against the reference source):
 from __future__ import annotations
 
 import os
-import queue
-import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial

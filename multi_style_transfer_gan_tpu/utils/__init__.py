@@ -1,5 +1,5 @@
 """Utilities: compilation cache, profiling, tree helpers."""
 
-from .runtime import enable_compilation_cache, throughput_meter
+from .runtime import enable_compilation_cache, throughput_meter, MetricsLogger
 
-__all__ = ["enable_compilation_cache", "throughput_meter"]
+__all__ = ["enable_compilation_cache", "throughput_meter", "MetricsLogger"]

@@ -58,3 +58,30 @@ class throughput_meter:
         print(f"{self.label}: {self.n} items in {self.elapsed:.2f}s "
               f"({self.n / max(self.elapsed, 1e-9):.2f}/s, {per:.3f}s each)")
         return False
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics log for the training CLIs
+    (SURVEY.md §5.5 — the reference's only observability is stdout prints).
+    No-op when constructed with ``path=None``."""
+
+    def __init__(self, path=None):
+        self.path = path
+        self._f = None
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                        exist_ok=True)
+            self._f = open(path, "a", buffering=1)
+
+    def log(self, **record):
+        if self._f is None:
+            return
+        import json
+
+        record.setdefault("t", time.time())
+        self._f.write(json.dumps(record) + "\n")
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None

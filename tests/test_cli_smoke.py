@@ -176,8 +176,13 @@ def test_pretrain_cli_one_epoch(env, tmp_path):
 
     main(["--data_root", str(env / "data"), "--save_dir", str(tmp_path),
           "--num_epochs", "1", "--batch_size", "2", "--channels", "4",
-          "--checkpoint_every", "1", "--log_every", "1"])
+          "--checkpoint_every", "1", "--log_every", "1",
+          "--metrics_log", str(tmp_path / "metrics.jsonl")])
     assert os.listdir(tmp_path)  # wrote a checkpoint
+    import json
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert lines and any("loss" in ln or "mean_loss" in ln for ln in lines)
 
 
 def test_m_test_cli(env, tmp_path):
