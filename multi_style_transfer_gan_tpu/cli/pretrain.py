@@ -33,11 +33,14 @@ def main(argv=None):
 
     from ..utils import enable_compilation_cache, MetricsLogger
     enable_compilation_cache()
-    metrics = MetricsLogger(args.metrics_log)
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # only process 0 writes metrics on a pod (all processes see all losses)
+    metrics = MetricsLogger(args.metrics_log
+                            if jax.process_index() == 0 else None)
 
     from ..data import ImageFolderDataset, prefetch_to_device
     from ..ops import to_model_range
@@ -76,6 +79,21 @@ def main(argv=None):
 
     os.makedirs(args.save_dir, exist_ok=True)
     mask_key = jax.random.PRNGKey(args.seed + 1)
+    try:
+        _run_epochs(args, monet, photo, state, step_fn, sharding, mask_key,
+                    metrics, start_epoch)
+    finally:
+        metrics.close()
+
+
+def _run_epochs(args, monet, photo, state, step_fn, sharding, mask_key,
+                metrics, start_epoch):
+    import jax
+
+    from ..data import prefetch_to_device
+    from ..ops import to_model_range
+    from ..train import save_pretrain_checkpoint
+
     for epoch in range(start_epoch, args.num_epochs):
         t0 = time.time()
         for name, ds in (("monet", monet), ("photo", photo)):
@@ -106,7 +124,6 @@ def main(argv=None):
             print(f"checkpoint saved: {path}")
         print(f"epoch {epoch + 1}/{args.num_epochs} done "
               f"({time.time() - t0:.1f}s)")
-    metrics.close()
 
 
 if __name__ == "__main__":

@@ -30,14 +30,19 @@ def main(argv=None):
                         "(XLA-formulation backward via custom_vjp)")
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append one JSON line per logged step/epoch here")
+    p.add_argument("--image_size", type=int, default=256,
+                   help="training resolution (reference fixes 256)")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache, MetricsLogger
     enable_compilation_cache()
-    metrics = MetricsLogger(args.metrics_log)
 
     import jax
     import jax.numpy as jnp
+
+    # only process 0 writes metrics on a pod (all processes see all losses)
+    metrics = MetricsLogger(args.metrics_log
+                            if jax.process_index() == 0 else None)
 
     from ..data import ImageFolderDataset, prefetch_to_device
     from ..ops import to_model_range
@@ -56,8 +61,12 @@ def main(argv=None):
         except Exception:
             pre = plain_generator_from_sd(pre_sd)
 
-    monet = ImageFolderDataset(args.data_root, "A", host_size=256)
-    photo = ImageFolderDataset(args.data_root, "B", host_size=256)
+    monet = ImageFolderDataset(args.data_root, "A",
+                               img_size=args.image_size,
+                               host_size=args.image_size)
+    photo = ImageFolderDataset(args.data_root, "B",
+                               img_size=args.image_size,
+                               host_size=args.image_size)
     print(f"monet: {len(monet)}  photo: {len(photo)}")
 
     state = cyclegan_init_state(jax.random.PRNGKey(args.seed), args.channels,
@@ -74,36 +83,40 @@ def main(argv=None):
         s, a, b, g_tx, d_tx, compute_dtype=dtype,
         fast_attention=args.fast_attention), donate_argnums=0)
 
-    for epoch in range(args.num_epochs):
-        t0 = time.time()
-        # batches stay host numpy until prefetch: on a multi-host pod each
-        # process decodes only its slice and prefetch assembles the global
-        # sharded array (make_array_from_process_local_data)
-        it_a = monet.batches(args.batch_size, seed=args.seed + epoch, epochs=1,
-                             process_index=jax.process_index(),
-                             process_count=jax.process_count())
-        it_b = photo.batches(args.batch_size, seed=args.seed * 7 + epoch,
-                             epochs=1, process_index=jax.process_index(),
-                             process_count=jax.process_count())
-        paired = ((to_model_range(a), to_model_range(b))
-                  for a, b in zip(it_a, it_b))
-        steps = 0
-        for i, (xa, xb) in enumerate(prefetch_to_device(paired, sharding)):
-            state, losses = step_fn(state, xa, xb)
-            steps = i + 1
-            if (i + 1) % args.log_every == 0:
-                vals = {k: float(v) for k, v in losses.items()}
-                msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items())
-                print(f"epoch {epoch + 1} step {i + 1}: {msg}")
-                metrics.log(epoch=epoch + 1, step=i + 1, **vals)
-        if (epoch + 1) % args.checkpoint_every == 0:
-            save_models(jax.device_get(state), args.save_dir, epoch + 1)
-            print(f"checkpoints saved at epoch {epoch + 1}")
-        dt = time.time() - t0
-        print(f"epoch {epoch + 1}/{args.num_epochs} done ({dt:.1f}s)")
-        metrics.log(epoch=epoch + 1, epoch_seconds=dt,
-                    img_pairs_per_sec=steps * args.batch_size / max(dt, 1e-9))
-    metrics.close()
+    try:
+        for epoch in range(args.num_epochs):
+            t0 = time.time()
+            # batches stay host numpy until prefetch: on a multi-host pod
+            # each process decodes only its slice and prefetch assembles the
+            # global sharded array (make_array_from_process_local_data)
+            it_a = monet.batches(args.batch_size, seed=args.seed + epoch,
+                                 epochs=1,
+                                 process_index=jax.process_index(),
+                                 process_count=jax.process_count())
+            it_b = photo.batches(args.batch_size, seed=args.seed * 7 + epoch,
+                                 epochs=1, process_index=jax.process_index(),
+                                 process_count=jax.process_count())
+            paired = ((to_model_range(a), to_model_range(b))
+                      for a, b in zip(it_a, it_b))
+            steps = 0
+            for i, (xa, xb) in enumerate(prefetch_to_device(paired, sharding)):
+                state, losses = step_fn(state, xa, xb)
+                steps = i + 1
+                if (i + 1) % args.log_every == 0:
+                    vals = {k: float(v) for k, v in losses.items()}
+                    msg = " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                    print(f"epoch {epoch + 1} step {i + 1}: {msg}")
+                    metrics.log(epoch=epoch + 1, step=i + 1, **vals)
+            if (epoch + 1) % args.checkpoint_every == 0:
+                save_models(jax.device_get(state), args.save_dir, epoch + 1)
+                print(f"checkpoints saved at epoch {epoch + 1}")
+            dt = time.time() - t0
+            print(f"epoch {epoch + 1}/{args.num_epochs} done ({dt:.1f}s)")
+            metrics.log(epoch=epoch + 1, epoch_seconds=dt,
+                        img_pairs_per_sec=steps * args.batch_size
+                        / max(dt, 1e-9))
+    finally:
+        metrics.close()
 
 
 if __name__ == "__main__":

@@ -85,3 +85,10 @@ class MetricsLogger:
         if self._f is not None:
             self._f.close()
             self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

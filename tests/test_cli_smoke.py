@@ -211,3 +211,20 @@ def test_batch_process_images_cli(env, tmp_path):
     assert rc == 0
     out = tmp_path / "out" / "local_style_enhanced_monet2photo"
     assert len(os.listdir(out)) == 3
+
+
+def test_train_cli_one_epoch(env, tmp_path):
+    from multi_style_transfer_gan_tpu.cli.train import main
+
+    main(["--data_root", str(env / "data"), "--save_dir", str(tmp_path),
+          "--num_epochs", "1", "--batch_size", "2", "--channels", "4",
+          "--num_transformer_blocks", "1", "--checkpoint_every", "1",
+          "--log_every", "1", "--image_size", "64",
+          "--metrics_log", str(tmp_path / "metrics.jsonl")])
+    names = os.listdir(tmp_path)
+    assert any(n.startswith("G_AB") for n in names)  # 3-file schema
+    import json
+    lines = [json.loads(ln) for ln in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert any("g_loss" in ln for ln in lines)
+    assert any("img_pairs_per_sec" in ln for ln in lines)
