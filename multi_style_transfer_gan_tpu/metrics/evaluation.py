@@ -54,19 +54,24 @@ def compare_folder_pair(base_dir, other_dir, batch: int = 16) -> dict:
     batches.
     """
     names = find_matching_images(base_dir, other_dir)
+    # bucket by the BASE image's size from the PIL header alone — decoding
+    # happens lazily per device chunk, so a 1000s-of-images folder never
+    # holds more than one batch of floats in host RAM
     buckets: dict = defaultdict(list)
     for n in names:
-        a, b = _load_pair(os.path.join(base_dir, n), os.path.join(other_dir, n))
-        buckets[a.shape].append((n, a, b))
+        with Image.open(os.path.join(base_dir, n)) as im:
+            buckets[im.size].append(n)
 
     per_image, skipped = {}, []
-    for shape, items in buckets.items():
+    for _, items in buckets.items():
         for i in range(0, len(items), batch):
             chunk = items[i:i + batch]
-            a = jnp.asarray(np.stack([c[1] for c in chunk]))
-            b = jnp.asarray(np.stack([c[2] for c in chunk]))
+            pairs = [_load_pair(os.path.join(base_dir, n),
+                                os.path.join(other_dir, n)) for n in chunk]
+            a = jnp.asarray(np.stack([p[0] for p in pairs]))
+            b = jnp.asarray(np.stack([p[1] for p in pairs]))
             out = compare_pair(a, b)
-            for j, (n, _, _) in enumerate(chunk):
+            for j, n in enumerate(chunk):
                 m = {k: float(v[j]) for k, v in out.items()}
                 # identical-image guard (:309-311) + invalid skip (:323-329)
                 if m["mse"] == 0.0:
@@ -99,12 +104,18 @@ def compare_image_quality(base_dir, other_dirs=None, output_prefix="comparison",
                           output_dir=".", auto_detect=False) -> dict:
     """Multi-folder comparison with Excel + chart outputs
     (compare_image_quality.py main surface)."""
+    # auto_detect REPLACES any explicit list — the reference does exactly
+    # this (compare_image_quality.py:517-530 rebuilds comparison_folders
+    # from siblings whenever --auto_detect is set)
     if auto_detect or not other_dirs:
         other_dirs = auto_detect_folders(base_dir)
     results = {}
     for d in other_dirs:
-        results[os.path.basename(os.path.normpath(d))] = \
-            compare_folder_pair(base_dir, d)
+        key = os.path.basename(os.path.normpath(d))
+        if key in results:  # two dirs with the same basename: disambiguate
+            key = os.path.join(
+                os.path.basename(os.path.dirname(os.path.normpath(d))), key)
+        results[key] = compare_folder_pair(base_dir, d)
 
     os.makedirs(output_dir, exist_ok=True)
     detailed = [["folder", "image", "mse", "psnr", "ssim"]]
@@ -148,6 +159,8 @@ def complete_comparison(original_dir, folder_a, folder_b,
         ma, mb = res_a["per_image"][n], res_b["per_image"][n]
         detailed.append([n, ma["mse"], mb["mse"], ma["psnr"], mb["psnr"],
                         ma["ssim"], mb["ssim"]])
+        # ties credit name_b — the reference's else-branch does the same
+        # (complete_comparison.py:185-199)
         wins[name_a if ma["mse"] < mb["mse"] else name_b]["mse"] += 1
         wins[name_a if ma["psnr"] > mb["psnr"] else name_b]["psnr"] += 1
         wins[name_a if ma["ssim"] > mb["ssim"] else name_b]["ssim"] += 1
@@ -159,9 +172,12 @@ def complete_comparison(original_dir, folder_a, folder_b,
         win_rows.append([k, wins[name_a][k], wins[name_b][k],
                          100.0 * wins[name_b][k] / n])
     total_b = sum(wins[name_b].values())
-    verdict = (f"{name_b} wins {total_b}/{3 * n} metric comparisons"
-               if total_b >= 3 * n / 2 else
-               f"{name_a} wins {3 * n - total_b}/{3 * n} metric comparisons")
+    if not common:
+        verdict = "no matching images to compare"
+    elif total_b >= 3 * n / 2:
+        verdict = f"{name_b} wins {total_b}/{3 * n} metric comparisons"
+    else:
+        verdict = f"{name_a} wins {3 * n - total_b}/{3 * n} metric comparisons"
 
     summary = [["folder", "avg_mse", "avg_psnr", "avg_ssim"]]
     for nm, r in ((name_a, res_a), (name_b, res_b)):
@@ -185,17 +201,19 @@ def complete_comparison(original_dir, folder_a, folder_b,
 
 
 def prepare_comparison_folders(src_dir, prefix, dest_name="for_comparison"):
-    """Move ``{prefix}*`` outputs into a clean subfolder
-    (prepare_comparison_folders.py:6-38). Strips the prefix from names."""
+    """Copy ``{prefix}*`` outputs into a clean subfolder, stripping the
+    prefix from names. Despite its name, the reference script COPIES
+    (shutil.copy2, prepare_comparison_folders.py:33) and leaves the
+    originals in place — replicated here."""
     import shutil
 
     dest = os.path.join(src_dir, dest_name)
     os.makedirs(dest, exist_ok=True)
-    moved = []
+    copied = []
     for p in list_images(src_dir):
         base = os.path.basename(p)
         if base.startswith(prefix):
             tgt = os.path.join(dest, base[len(prefix):])
             shutil.copy2(p, tgt)
-            moved.append(tgt)
-    return moved
+            copied.append(tgt)
+    return copied

@@ -80,8 +80,11 @@ def run_fid_eval(g_ab, g_ba, data_root, output_dir, *, max_images: int = 100,
                                  host_size=256)
         n = min(len(src), max_images)
         n_t = min(len(tgt), max_images)
-        if n == 0 or n_t == 0:
-            print(f"{direction}: no test images, skipping")
+        if n < 2 or n_t < 2:
+            # np.cov on a single sample is NaN and the Frechet sqrtm blows
+            # up — FID needs >= 2 images per side
+            print(f"{direction}: need >= 2 test images per domain "
+                  f"(have {n}/{n_t}), skipping")
             continue
 
         fake_feats, real_feats = [], []

@@ -58,9 +58,9 @@ def _bconv(p, name, x, *, stride=1, padding=0):
 
 
 def _maxpool(x, k=3, s=2, pad=0):
-    return -lax.reduce_window(-x, jnp.inf, lax.min, (1, k, k, 1),
-                              (1, s, s, 1),
-                              [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, k, k, 1),
+                             (1, s, s, 1),
+                             [(0, 0), (pad, pad), (pad, pad), (0, 0)])
 
 
 def _avgpool3(x):

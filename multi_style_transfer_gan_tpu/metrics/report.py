@@ -46,6 +46,11 @@ def _esc(s: str) -> str:
 def _cell(ref: str, value) -> str:
     if value is None:
         return ""
+    # numpy scalars must become plain python numbers: repr(np.float64(x))
+    # under numpy>=2 is "np.float64(x)" which corrupts the <v> cell, and
+    # np.float32/np.int64 fail the isinstance checks entirely
+    if hasattr(value, "item") and not hasattr(value, "__len__"):
+        value = value.item()
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):

@@ -111,3 +111,55 @@ def test_write_xlsx_roundtrip(tmp_path):
         assert "0.93" in sheet and "a.jpg" in sheet
         wb = z.read("xl/workbook.xml").decode()
         assert "Detailed" in wb and "Summary" in wb
+
+
+def test_write_xlsx_numpy_scalars(tmp_path):
+    # numpy scalars coerce to real numeric cells (repr(np.float64) under
+    # numpy>=2 would otherwise corrupt <v>)
+    import zipfile
+
+    path = tmp_path / "np.xlsx"
+    write_xlsx(path, {"S": [["a", "b", "c"],
+                            [np.float64(3.25), np.float32(1.5), np.int64(7)]]})
+    with zipfile.ZipFile(path) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+    assert "<v>3.25</v>" in xml and "<v>7</v>" in xml
+    assert "np.float64" not in xml
+
+
+def test_complete_comparison_no_common_images(tmp_path):
+    from multi_style_transfer_gan_tpu.metrics.evaluation import (
+        complete_comparison,
+    )
+    from PIL import Image as _Image
+
+    for name, fname in (("orig", "x.png"), ("a", "y.png"), ("b", "z.png")):
+        d = tmp_path / name
+        d.mkdir()
+        _Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / fname)
+    out = complete_comparison(str(tmp_path / "orig"), str(tmp_path / "a"),
+                              str(tmp_path / "b"), output_dir=str(tmp_path))
+    assert out["verdict"] == "no matching images to compare"
+    assert out["n_images"] == 0
+
+
+def test_compare_image_quality_same_basename(tmp_path):
+    from multi_style_transfer_gan_tpu.metrics.evaluation import (
+        compare_image_quality,
+    )
+    from PIL import Image as _Image
+
+    rng = np.random.default_rng(0)
+    base = tmp_path / "base"
+    base.mkdir()
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    _Image.fromarray(img).save(base / "i.png")
+    dirs = []
+    for parent in ("runA", "runB"):
+        d = tmp_path / parent / "output"
+        d.mkdir(parents=True)
+        _Image.fromarray(np.clip(img + rng.integers(1, 20, img.shape), 0, 255)
+                         .astype(np.uint8)).save(d / "i.png")
+        dirs.append(str(d))
+    out = compare_image_quality(str(base), dirs, output_dir=str(tmp_path))
+    assert len(out["results"]) == 2  # both folders reported, not overwritten
