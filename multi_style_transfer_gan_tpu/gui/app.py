@@ -158,7 +158,7 @@ def _process_local(model, img_path, out_path, *, mode="enhanced",
         res = gui_local_style_blend(
             jnp.asarray(canvas, jnp.float32)[None], styled,
             float(strength), float(detail),
-            sky_handling=bool(sky_handling))[0]
+            sky_handling=bool(sky_handling), direction=direction)[0]
         if enhance_colors:
             if direction == "photo2monet":
                 res = jnp.clip(res * jnp.asarray([1.0, 1.05, 1.1]), 0, 255)

@@ -8,7 +8,7 @@ Algorithm per cv2: per-tile 256-bin histogram, clip at
 ``clipLimit * tile_pixels / 256`` (>=1), redistribute the clipped excess
 uniformly, build per-tile LUTs from the cdf, then bilinearly interpolate
 between the four surrounding tile LUTs at every pixel. Fully vectorized
-jnp (one one-hot histogram + gather), jittable, batched.
+jnp (vmapped bincount histogram + gather), jittable, batched.
 """
 
 from __future__ import annotations
@@ -33,8 +33,12 @@ def clahe(gray_u8, clip_limit: float = 2.0, grid: int = 8):
     tiles = x.reshape(B, grid, th, grid, tw).transpose(0, 1, 3, 2, 4)
     tiles = tiles.reshape(B, grid * grid, npx).astype(jnp.int32)
 
-    onehot = jax.nn.one_hot(tiles, 256, dtype=jnp.float32)
-    hist = jnp.sum(onehot, axis=2)  # (B, T, 256)
+    # per-tile 256-bin counts via vmapped bincount — O(B*T*256) memory
+    # (a one-hot formulation here costs (B,T,npx,256) floats: ~67 MB per
+    # 256² image)
+    hist = jax.vmap(lambda f: jnp.bincount(f, length=256))(
+        tiles.reshape(-1, npx)).reshape(B, grid * grid, 256)
+    hist = hist.astype(jnp.float32)
 
     # cv2: clipLimit = max(int(clip * npx / 256), 1); integer redistribution
     # of the clipped excess — redistBatch to every bin, then +1 to bins at

@@ -27,8 +27,9 @@ from jax import lax
 # ---------------------------------------------------------------------------
 
 def _sep_filter(img, ky: np.ndarray, kx: np.ndarray, mode="REFLECT_101"):
-    """Separable 2-D filter on (..., H, W[, C]) with cv2-style borders."""
-    squeeze_c = img.ndim == 2 or (img.ndim >= 2 and False)
+    """Separable 2-D filter on (..., H, W[, C]) with configurable borders:
+    REFLECT_101 (cv2 default), REPLICATE (cv2), or SYMMETRIC (scipy
+    'reflect' — edge sample duplicated)."""
     x = img.astype(jnp.float32)
     chan = x.ndim >= 3 and x.shape[-1] <= 8  # heuristic: trailing C axis
     if not chan:
@@ -38,7 +39,8 @@ def _sep_filter(img, ky: np.ndarray, kx: np.ndarray, mode="REFLECT_101"):
         x = x[None]
     B, H, W, C = x.shape
     ry, rx = len(ky) // 2, len(kx) // 2
-    pad_mode = "reflect" if mode == "REFLECT_101" else "edge"
+    pad_mode = {"REFLECT_101": "reflect", "REPLICATE": "edge",
+                "SYMMETRIC": "symmetric"}[mode]
     x = jnp.pad(x, ((0, 0), (ry, ry), (rx, rx), (0, 0)), mode=pad_mode)
     ky_k = jnp.asarray(ky, jnp.float32).reshape(-1, 1, 1, 1)
     kx_k = jnp.asarray(kx, jnp.float32).reshape(1, -1, 1, 1)
@@ -87,35 +89,13 @@ def gaussian_filter(img, sigma: float, truncate: float = 4.0):
     """scipy.ndimage.gaussian_filter (2-D over H,W; reflect border).
 
     Used by the reference for the detail mask (batch_process_images.py:327).
-    scipy 'reflect' duplicates the edge sample — pad mode symmetric.
+    scipy 'reflect' duplicates the edge sample — SYMMETRIC pad.
     """
     r = int(truncate * sigma + 0.5)
     xs = np.arange(-r, r + 1)
     k = np.exp(-0.5 * (xs / sigma) ** 2)
     k = k / k.sum()
-    x = img.astype(jnp.float32)
-    chan = x.ndim >= 3 and x.shape[-1] <= 8
-    if not chan:
-        x = x[..., None]
-    batch = x.ndim == 4
-    if not batch:
-        x = x[None]
-    B, H, W, C = x.shape
-    x = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="symmetric")
-    dn = ("NHWC", "HWIO", "NHWC")
-    ky = jnp.asarray(k, jnp.float32).reshape(-1, 1, 1, 1)
-    kx = jnp.asarray(k, jnp.float32).reshape(1, -1, 1, 1)
-    x = lax.conv_general_dilated(x, jnp.tile(ky, (1, 1, 1, C)), (1, 1),
-                                 [(0, 0), (0, 0)], dimension_numbers=dn,
-                                 feature_group_count=C)
-    x = lax.conv_general_dilated(x, jnp.tile(kx, (1, 1, 1, C)), (1, 1),
-                                 [(0, 0), (0, 0)], dimension_numbers=dn,
-                                 feature_group_count=C)
-    if not batch:
-        x = x[0]
-    if not chan:
-        x = x[..., 0]
-    return x
+    return _sep_filter(img.astype(jnp.float32), k, k, mode="SYMMETRIC")
 
 
 def box_filter(img, ksize: int):
@@ -226,6 +206,10 @@ def equalize_hist(gray_u8):
     cdf_min = jnp.min(jnp.where(hist > 0, cdf, n + 1), axis=-1, keepdims=True)
     denom = jnp.maximum(n - cdf_min, 1)
     lut = jnp.clip(jnp.round((cdf - cdf_min) * 255.0 / denom), 0, 255)
+    # cv2 special case: a single-valued image (some hist[i] == N) is
+    # returned unchanged, not mapped to 0
+    constant = jnp.any(hist == n, axis=-1, keepdims=True)
+    lut = jnp.where(constant, jnp.arange(256, dtype=lut.dtype), lut)
     idx = flat.reshape(*x.shape)
     lut_b = jnp.broadcast_to(lut.reshape(*x.shape[:-2], 1, 1, 256),
                              (*x.shape, 256))

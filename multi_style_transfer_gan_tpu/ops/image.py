@@ -129,12 +129,13 @@ def resize_center_crop(img, size: int = 256, method: str = "lanczos3"):
     B, H, W, C = img.shape
     h = jnp.full((B,), H, jnp.float32)
     w = jnp.full((B,), W, jnp.float32)
-    # PIL/torchvision integer geometry: resize to rounded (nh, nw), then
-    # crop at integer offsets ((nw - size)//2) — fractional offsets would
-    # shift content half a pixel vs the reference.
-    scale = size / jnp.minimum(h, w)
-    new_h = jnp.round(h * scale)
-    new_w = jnp.round(w * scale)
+    # torchvision integer geometry: short side -> size, long side ->
+    # int(size * long / short) — TRUNCATED, not rounded
+    # (torchvision._compute_resized_output_size) — then crop at integer
+    # offsets ((nw - size)//2); fractional offsets would shift content
+    # half a pixel vs the reference.
+    new_h = jnp.where(h <= w, float(size), jnp.floor(size * h / w))
+    new_w = jnp.where(w <= h, float(size), jnp.floor(size * w / h))
     ty = -jnp.floor((new_h - size) / 2.0)
     tx = -jnp.floor((new_w - size) / 2.0)
 

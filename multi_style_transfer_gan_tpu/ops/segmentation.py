@@ -157,30 +157,35 @@ def slic(image: np.ndarray, n_segments: int = 100, compactness: float = 10.0,
         [lab[cy.ravel(), cx.ravel()], centers * (compactness / S)], 1)
 
     yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-    pix = np.concatenate(
-        [lab.reshape(-1, 3),
-         np.stack([yy.ravel(), xx.ravel()], 1) * (compactness / S)], 1)
+    pix_grid = np.concatenate(
+        [lab, np.stack([yy, xx], -1) * (compactness / S)], -1)  # (H, W, 5)
 
-    labels = np.zeros(H * W, np.int64)
-    dist = np.full(H * W, np.inf)
+    K = len(centers)
+    labels = np.zeros((H, W), np.int64)
+    dist = np.full((H, W), np.inf)
     for _ in range(max_iter):
         dist[:] = np.inf
+        # assignment: each center only touches its (2S+1)^2 window —
+        # direct slicing, not full-image masks
         for k, (fy, fx) in enumerate(centers):
             y0, y1 = max(0, int(fy) - S), min(H, int(fy) + S + 1)
             x0, x1 = max(0, int(fx) - S), min(W, int(fx) + S + 1)
-            win = (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
-            wid = win.ravel()
-            d = ((pix[wid] - feats[k]) ** 2).sum(1)
-            better = d < dist[wid]
-            sel = np.where(wid)[0][better]
-            dist[sel] = d[better]
-            labels[sel] = k
-        for k in range(len(centers)):
-            members = pix[labels == k]
-            if len(members):
-                feats[k] = members.mean(0)
-                centers[k] = feats[k][3:5] / (compactness / S)
-    return labels.reshape(H, W)
+            d = ((pix_grid[y0:y1, x0:x1] - feats[k]) ** 2).sum(-1)
+            better = d < dist[y0:y1, x0:x1]
+            dist[y0:y1, x0:x1] = np.where(better, d, dist[y0:y1, x0:x1])
+            labels[y0:y1, x0:x1] = np.where(better, k, labels[y0:y1, x0:x1])
+        # center update: per-label means via bincount (O(N) not O(K*N));
+        # centers with no members keep their previous position
+        flat_labels = labels.ravel()
+        counts = np.bincount(flat_labels, minlength=K)
+        occupied = counts > 0
+        denom = np.maximum(counts, 1)
+        for c in range(5):
+            sums = np.bincount(flat_labels,
+                               weights=pix_grid[..., c].ravel(), minlength=K)
+            feats[occupied, c] = (sums / denom)[occupied]
+        centers = feats[:, 3:5] / (compactness / S)
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +245,15 @@ def quickshift(image: np.ndarray, kernel_size: float = 3.0,
             px[upgrade] = (xx[ty0:ty1, tx0:tx1] + dx)[upgrade]
             parent_y[ty0:ty1, tx0:tx1] = py
             parent_x[ty0:ty1, tx0:tx1] = px
+
+    # skimage semantics: a pixel whose nearest-higher-density parent is
+    # farther than max_dist in FULL feature distance becomes its own root
+    # (skimage quickshift: flat[dist_parent > max_dist] = self) — without
+    # this, adjacent flat regions of very different color merge whenever
+    # they touch spatially.
+    too_far = best > max_dist ** 2
+    parent_y = np.where(too_far, yy, parent_y)
+    parent_x = np.where(too_far, xx, parent_x)
 
     flat = parent_y * W + parent_x
     # path-compress to roots

@@ -69,8 +69,9 @@ def test_resize_center_crop_square(rng):
     # PIL oracle
     im = Image.fromarray((img * 255).astype(np.uint8))
     w, h = im.size
-    s = 256 / min(w, h)
-    im = im.resize((round(w * s), round(h * s)), Image.LANCZOS)
+    # torchvision semantics: short side -> size, long side truncated
+    im = im.resize((int(w * 256 / min(w, h)), int(h * 256 / min(w, h))),
+                   Image.LANCZOS)
     left = (im.size[0] - 256) // 2
     top = (im.size[1] - 256) // 2
     ref = np.asarray(im.crop((left, top, left + 256, top + 256))) / 255.0
@@ -93,3 +94,22 @@ def test_model_range_roundtrip(rng):
     assert float(y.min()) >= -1 and float(y.max()) <= 1
     back = from_model_range(y)
     np.testing.assert_allclose(np.asarray(back), x / 255.0, atol=1e-6)
+
+
+def test_resize_center_crop_truncates_long_side(rng):
+    # 333x334: long side = int(256*334/333) = 256 (round would give 257,
+    # shifting content half a pixel vs torchvision)
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:334, 0:333] / 80.0
+    img = (np.stack([np.sin(yy + xx), np.cos(xx - yy), np.sin(xx * 0.5)], -1)
+           .astype(np.float32) * 0.5 + 0.5)
+    out = np.asarray(resize_center_crop(jnp.asarray(img), 256))
+    im = Image.fromarray((img * 255).astype(np.uint8))
+    w, h = im.size
+    im = im.resize((int(w * 256 / min(w, h)), int(h * 256 / min(w, h))),
+                   Image.LANCZOS)
+    assert im.size == (256, 256)  # the truncation case: no crop needed
+    ref = np.asarray(im) / 255.0
+    diff = np.abs(out[4:-4, 4:-4] - ref[4:-4, 4:-4])
+    assert diff.mean() < 0.02, diff.mean()
