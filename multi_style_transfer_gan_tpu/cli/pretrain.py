@@ -63,11 +63,18 @@ def main(argv=None):
                                     lr=args.lr)
     start_epoch = 0
     if args.resume:
+        from ..train.pretrain import restore_opt_state
+
         ck = load_pth(args.resume)
         params = plain_generator_from_sd(extract_state_dict(ck))
         start_epoch = int(ck.get("epoch", 0)) + 1
-        state = PretrainState(params=params, opt=tx.init(params),
-                              step=jnp.asarray(start_epoch * steps_per_epoch))
+        step = start_epoch * steps_per_epoch
+        # fast-forwards the LR schedule/bias-correction counts and restores
+        # adam moments when the checkpoint carries a torch Adam state
+        opt = restore_opt_state(tx, params, step,
+                                ck.get("optimizer_state_dict"))
+        state = PretrainState(params=params, opt=opt,
+                              step=jnp.asarray(step))
         print(f"resumed from {args.resume} at epoch {start_epoch}")
 
     mesh = make_mesh_for_batch(args.batch_size)

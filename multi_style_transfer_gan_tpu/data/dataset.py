@@ -129,16 +129,21 @@ class ImageFolderDataset:
 
 
 def random_patch_mask(key, batch_size: int, img_size: int = 256,
-                      grid: int = 8, p: float = 0.4):
+                      grid: int = 8, p: float = 0.4,
+                      width: int | None = None):
     """The reference's inpainting mask (pretrain.py:47-56), batched + jittable.
 
-    Returns (B, img_size, img_size, 1) float mask: 1 = keep, 0 = dropped
-    patch, each grid cell dropped i.i.d. with probability ``p``.
+    Returns (B, img_size, width or img_size, 1) float mask: 1 = keep, 0 =
+    dropped patch, each grid cell dropped i.i.d. with probability ``p``.
     """
-    patch = img_size // grid
+    w = width if width is not None else img_size
+    if img_size % grid or w % grid:
+        raise ValueError(f"mask size {img_size}x{w} not divisible by the "
+                         f"{grid}x{grid} patch grid")
     keep = jax.random.bernoulli(key, 1.0 - p, (batch_size, grid, grid))
     keep = keep.astype(jnp.float32)
-    mask = jnp.repeat(jnp.repeat(keep, patch, axis=1), patch, axis=2)
+    mask = jnp.repeat(jnp.repeat(keep, img_size // grid, axis=1),
+                      w // grid, axis=2)
     return mask[..., None]
 
 

@@ -67,11 +67,21 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
     g_ab = enhanced_generator_init(kab, channels, num_transformer_blocks)
     g_ba = enhanced_generator_init(kba, channels, num_transformer_blocks)
     if pretrained_params:
-        # non-strict load: only keys that exist with matching shapes
+        # non-strict load: only keys that exist with matching shapes.
+        # NOTE reference parity: the reference warm-starts EnhancedGenerator
+        # from the PLAIN pretrain checkpoint with strict=False
+        # (enhanced_train.py:28-33) — the two models share ZERO key names,
+        # so the reference's warm start transfers nothing; the count below
+        # makes that visible instead of silent.
+        transferred = 0
         for tgt in (g_ab, g_ba):
             for k, v in pretrained_params.items():
                 if k in tgt and tgt[k].shape == v.shape:
                     tgt[k] = v
+                    transferred += 1
+        print(f"warm start: {transferred} tensors transferred"
+              + (" (the reference's plain->enhanced warm start also "
+                 "matches zero keys)" if transferred == 0 else ""))
     d_a_params, d_a_sn = discriminator_init(kda, channels)
     d_b_params, d_b_sn = discriminator_init(kdb, channels)
     g_params = {"G_AB": g_ab, "G_BA": g_ba}
@@ -85,8 +95,9 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
 
 
 def cyclegan_train_step(state: CycleGANState, real_A, real_B,
-                        g_tx=None, d_tx=None, compute_dtype=jnp.float32,
-                        remat=True, fast_attention=False):
+                        g_tx, d_tx, *, compute_dtype=jnp.float32,
+                        remat=True, fast_attention=False,
+                        extra_g_loss=None):
     """One full CycleGAN step. real_A/real_B: (B, H, W, 3) in [-1, 1].
 
     Returns (new_state, losses_dict) — losses match the reference's returned
@@ -97,11 +108,13 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
     kernels with the XLA-formulation backward (custom_vjp; see
     enhanced_generator_apply) — opt-in, since the fwd/bwd pairing differs
     from pure XLA by the kernels' sub-bf16-noise divergence.
+    extra_g_loss: optional callable (the train/perceptual.py hook)
+    ``f(fake_A, fake_B, real_A, real_B) -> scalar`` added to the G loss
+    (differentiated through the generators) — NOT part of the reference's
+    loss set.
     """
     gen = partial(enhanced_generator_apply, remat=remat,
                   fast_attention="train" if fast_attention else False)
-    if g_tx is None or d_tx is None:
-        g_tx, d_tx = make_optimizers()
     xa = real_A.astype(compute_dtype)
     xb = real_B.astype(compute_dtype)
 
@@ -158,6 +171,8 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
                      + l1_loss(rb_map, fb_map)) * LAMBDA_STRUCTURE
 
         total = gan + cycle + identity + structure
+        if extra_g_loss is not None:
+            total = total + extra_g_loss(fake_A, fake_B, xa, xb)
         return total, (gan, cycle, identity, structure)
 
     (g_total, (gan, cycle, identity, structure)), g_grads = jax.value_and_grad(
@@ -193,18 +208,28 @@ def save_models(state: CycleGANState, save_dir, epoch: int):
                   state.g_params["G_BA"], "enhanced")},
              save_dir / f"G_BA_epoch_{epoch}.pth")
 
+    import numpy as np
+
     def d_sd(name):
         sd = params_to_torch_sd(state.d_params[name], "discriminator")
         for conv, st in state.sn_state[name].items():
             sd[f"{conv}.weight_u"] = jnp.asarray(st["u"])
             # our v is in (kh, kw, I) flat order; export torch's (I, kh, kw)
-            import numpy as np
-            w = np.asarray(state.d_params[name][f"{conv}.weight_orig"])
+            w = np.asarray(state.d_params[name][f"{conv}.weight_orig"],
+                           np.float32)
             kh, kw, i, _ = w.shape
             if st["v"] is not None:
                 v = np.asarray(st["v"]).reshape(kh, kw, i)
-                sd[f"{conv}.weight_v"] = np.ascontiguousarray(
-                    v.transpose(2, 0, 1).reshape(-1))
+            else:
+                # pre-power-iteration state: synthesize v the way the first
+                # iteration would (v = normalize(W^T u)) so torch can
+                # strict-load (spectral_norm registers weight_v)
+                v_flat = w.reshape(-1, w.shape[-1]) @ np.asarray(st["u"],
+                                                                 np.float32)
+                v = (v_flat / max(np.linalg.norm(v_flat), 1e-12)
+                     ).reshape(kh, kw, i)
+            sd[f"{conv}.weight_v"] = np.ascontiguousarray(
+                v.transpose(2, 0, 1).reshape(-1))
         return sd
 
     save_pth({"epoch": epoch,

@@ -78,24 +78,52 @@ def gram_matrix(f):
     return jnp.einsum("bnc,bnd->bcd", t, t) / (H * W * C)
 
 
+def _feature_l1(fp, ft, taps):
+    return sum(jnp.mean(jnp.abs(fp[i].astype(jnp.float32)
+                                - ft[i].astype(jnp.float32)))
+               for i in taps) / len(taps)
+
+
+def _gram_mse(fp, ft, taps):
+    return sum(jnp.mean(jnp.square(gram_matrix(fp[i]) - gram_matrix(ft[i])))
+               for i in taps) / len(taps)
+
+
 def perceptual_loss(vgg_params, pred, target,
                     taps: Sequence[int] = DEFAULT_TAPS):
     fp = vgg16_features(vgg_params, pred, taps)
     ft = vgg16_features(vgg_params, jax.lax.stop_gradient(target), taps)
-    return sum(jnp.mean(jnp.abs(fp[i].astype(jnp.float32)
-                                - ft[i].astype(jnp.float32)))
-               for i in taps) / len(taps)
+    return _feature_l1(fp, ft, taps)
 
 
 def gram_style_loss(vgg_params, pred, style_target,
                     taps: Sequence[int] = DEFAULT_TAPS):
     fp = vgg16_features(vgg_params, pred, taps)
     ft = vgg16_features(vgg_params, jax.lax.stop_gradient(style_target), taps)
-    return sum(jnp.mean(jnp.square(gram_matrix(fp[i]) - gram_matrix(ft[i])))
-               for i in taps) / len(taps)
+    return _gram_mse(fp, ft, taps)
 
 
 def perceptual_gram_loss(vgg_params, pred, content, style,
-                         w_perceptual: float = 1.0, w_gram: float = 1.0):
-    return (w_perceptual * perceptual_loss(vgg_params, pred, content)
-            + w_gram * gram_style_loss(vgg_params, pred, style))
+                         w_perceptual: float = 1.0, w_gram: float = 1.0,
+                         taps: Sequence[int] = DEFAULT_TAPS):
+    """Combined loss; the VGG trunk runs ONCE on ``pred`` and its taps are
+    shared by both terms."""
+    fp = vgg16_features(vgg_params, pred, taps)
+    fc = vgg16_features(vgg_params, jax.lax.stop_gradient(content), taps)
+    fs = vgg16_features(vgg_params, jax.lax.stop_gradient(style), taps)
+    return (w_perceptual * _feature_l1(fp, fc, taps)
+            + w_gram * _gram_mse(fp, fs, taps))
+
+
+def make_extra_g_loss(vgg_params, w_perceptual: float = 1.0,
+                      w_gram: float = 1.0):
+    """Adapter for ``cyclegan_train_step(..., extra_g_loss=...)``: perceptual
+    vs the translation source (content) + Gram vs the target domain
+    (style), averaged over both directions."""
+    def hook(fake_A, fake_B, real_A, real_B):
+        return 0.5 * (
+            perceptual_gram_loss(vgg_params, fake_B, real_A, real_B,
+                                 w_perceptual, w_gram)
+            + perceptual_gram_loss(vgg_params, fake_A, real_B, real_A,
+                                   w_perceptual, w_gram))
+    return hook

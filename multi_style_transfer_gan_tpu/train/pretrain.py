@@ -67,8 +67,8 @@ def pretrain_train_step(state: PretrainState, tx, images, mask_key,
     Returns (new_state, loss). BatchNorm runs in training mode with running
     stats threaded through params (as torch does).
     """
-    B, H, _, _ = images.shape
-    mask = random_patch_mask(mask_key, B, H)
+    B, H, W, _ = images.shape
+    mask = random_patch_mask(mask_key, B, H, width=W)
     x = (images * mask).astype(compute_dtype)
 
     def loss_fn(params):
@@ -77,8 +77,9 @@ def pretrain_train_step(state: PretrainState, tx, images, mask_key,
 
     (loss, params_with_stats), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
-    # running stats are buffers: take their updated values, zero their grads
-    grads = {k: g for k, g in grads.items()}
+    # the running-stat buffer grads are structurally zero (training mode
+    # uses batch statistics in the forward), so adam leaves the buffers
+    # untouched; their values are overwritten from the forward below
     updates, new_opt = tx.update(grads, state.opt, state.params)
     new_params = optax.apply_updates(state.params, updates)
     # overwrite running stats with the forward-updated buffers
@@ -88,16 +89,73 @@ def pretrain_train_step(state: PretrainState, tx, images, mask_key,
     return PretrainState(new_params, new_opt, state.step + 1), loss
 
 
+def _map_states(opt, fn):
+    """Apply ``fn`` to every optax NamedTuple state node (post-order)."""
+    if hasattr(opt, "_fields"):
+        opt = type(opt)(*[_map_states(v, fn) for v in opt])
+        return fn(opt)
+    if isinstance(opt, tuple):
+        return tuple(_map_states(v, fn) for v in opt)
+    return opt
+
+
+def restore_opt_state(tx, params, step: int, opt_sd=None, kind="plain"):
+    """Rebuild the optax state for a resume at ``step``.
+
+    The reference restores the torch optimizer+scheduler
+    (pretrain_resume.py:134-157); the equivalent here is a fresh init with
+    every ``count`` fast-forwarded (adam bias correction + the LR
+    schedule, which reads optax's internal count — NOT PretrainState.step)
+    and, when the checkpoint carries a torch-schema Adam state, the
+    exp_avg/exp_avg_sq moments restored into mu/nu.
+    """
+    opt = tx.init(params)
+    c = jnp.asarray(step, jnp.int32)
+    opt = _map_states(opt, lambda s: s._replace(count=c)
+                      if "count" in s._fields else s)
+    if opt_sd and isinstance(opt_sd.get("state"), dict) and opt_sd["state"]:
+        from ..weights import adam_state_from_torch
+
+        mu, nu, _ = adam_state_from_torch(opt_sd, params, kind)
+        opt = _map_states(
+            opt, lambda s: s._replace(mu=mu, nu=nu)
+            if "mu" in s._fields and "nu" in s._fields else s)
+    return opt
+
+
 def save_pretrain_checkpoint(state: PretrainState, path, epoch: int,
-                             loss: float = 0.0):
-    """Reference checkpoint schema (pretrain.py:210-216): epoch +
-    model_state_dict (+ a minimal optimizer/scheduler record)."""
-    from ..weights import params_to_torch_sd, save_pth
+                             loss: float = 0.0, tx_lr: float = LR):
+    """Reference checkpoint schema (pretrain.py:210-216), torch-loadable:
+    model_state_dict includes the BatchNorm num_batches_tracked buffers
+    and optimizer_state_dict is a real torch.optim.Adam state dict
+    (state/param_groups with exp_avg/exp_avg_sq from the optax moments),
+    so the reference's pretrain_resume.py can resume from our output."""
+    import numpy as np
+
+    from ..weights import adam_state_to_torch, params_to_torch_sd, save_pth
+
+    model_sd = params_to_torch_sd(state.params, "plain")
+    for k in list(model_sd):
+        if k.endswith("running_mean"):
+            model_sd[k[:-len("running_mean")] + "num_batches_tracked"] = \
+                np.asarray(int(state.step), np.int64)
+
+    adam = None
+    def grab(s):
+        nonlocal adam
+        if "mu" in getattr(s, "_fields", ()) and "nu" in s._fields:
+            adam = s
+        return s
+    _map_states(state.opt, grab)
+    opt_sd = (adam_state_to_torch(state.params, adam.mu, adam.nu,
+                                  int(adam.count), "plain", tx_lr,
+                                  ADAM_BETAS)
+              if adam is not None else {"step": int(state.step)})
 
     save_pth({
         "epoch": epoch,
-        "model_state_dict": params_to_torch_sd(state.params, "plain"),
-        "optimizer_state_dict": {"step": int(state.step)},
+        "model_state_dict": model_sd,
+        "optimizer_state_dict": opt_sd,
         "scheduler_state_dict": {"last_epoch": epoch},
         "loss": float(loss),
     }, path)

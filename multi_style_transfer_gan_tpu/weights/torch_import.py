@@ -198,6 +198,61 @@ def params_to_torch_sd(params, kind: str):
     return sd
 
 
+def trainable_keys(params) -> list:
+    """Keys in ``model.parameters()`` order: the state-dict key order minus
+    the BatchNorm buffers (torch registers weight/bias before the buffers,
+    so filtering the ordered dict reproduces parameters() exactly)."""
+    return [k for k in params
+            if not k.endswith(("running_mean", "running_var",
+                               "num_batches_tracked"))]
+
+
+def adam_state_to_torch(params, mu, nu, count, kind: str, lr: float,
+                        betas=(0.5, 0.999), eps: float = 1e-8):
+    """Build a ``torch.optim.Adam.state_dict()`` from optax adam moments so
+    the PyTorch reference can ``optimizer.load_state_dict`` our checkpoints
+    (pretrain_resume.py:134-157). Moment tensors get the same layout
+    transposes as the weights they correspond to."""
+    keys = trainable_keys(params)
+    mu_sd = params_to_torch_sd({k: mu[k] for k in keys}, kind)
+    nu_sd = params_to_torch_sd({k: nu[k] for k in keys}, kind)
+    step = np.asarray(float(count), np.float32)
+    return {
+        "state": {i: {"step": step,
+                      "exp_avg": mu_sd[k],
+                      "exp_avg_sq": nu_sd[k]} for i, k in enumerate(keys)},
+        "param_groups": [{
+            "lr": float(lr), "betas": tuple(betas), "eps": float(eps),
+            "weight_decay": 0, "amsgrad": False, "maximize": False,
+            "foreach": None, "capturable": False, "differentiable": False,
+            "fused": None, "params": list(range(len(keys))),
+        }],
+    }
+
+
+def adam_state_from_torch(opt_sd, params, kind: str):
+    """Inverse of ``adam_state_to_torch``: (mu, nu, count) trees matching
+    ``params`` (buffer entries zero, as optax init leaves them)."""
+    transposed = _PLAIN_TRANSPOSED if kind == "plain" else (
+        _ENH_TRANSPOSED if kind == "enhanced" else set())
+    keys = trainable_keys(params)
+    mu = {k: jnp.zeros_like(v) for k, v in params.items()}
+    nu = {k: jnp.zeros_like(v) for k, v in params.items()}
+    count = 0
+    for i, k in enumerate(keys):
+        st = opt_sd["state"].get(i, opt_sd["state"].get(str(i)))
+        if st is None:
+            continue
+        mu[k] = jnp.asarray(
+            _import_tensor(k, np.asarray(_to_numpy(st["exp_avg"])),
+                           transposed), params[k].dtype)
+        nu[k] = jnp.asarray(
+            _import_tensor(k, np.asarray(_to_numpy(st["exp_avg_sq"])),
+                           transposed), params[k].dtype)
+        count = int(round(float(np.asarray(_to_numpy(st["step"])))))
+    return mu, nu, count
+
+
 def save_pth(obj, path):
     """Serialize with torch.save (tensors converted from numpy)."""
     import torch

@@ -149,3 +149,149 @@ def test_bf16_train_step_runs():
     state, losses = jax.jit(lambda s, a, b: cyclegan_train_step(
         s, a, b, g_tx, d_tx, compute_dtype=jnp.bfloat16))(state, x, x)
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_pretrain_checkpoint_torch_loadable(tmp_path):
+    """The exported .pth must satisfy the reference's resume path
+    (pretrain_resume.py:134-157): strict model load + torch Adam
+    load_state_dict."""
+    import torch
+
+    from multi_style_transfer_gan_tpu.train.pretrain import (
+        pretrain_init_state, pretrain_train_step, save_pretrain_checkpoint,
+    )
+
+    state, tx = pretrain_init_state(jax.random.PRNGKey(0), channels=4,
+                                    num_epochs=4, steps_per_epoch=2)
+    x = jnp.asarray(np.tanh(np.random.default_rng(0)
+                            .standard_normal((2, 32, 32, 3))), jnp.float32)
+    state, _ = pretrain_train_step(state, tx, x, jax.random.PRNGKey(1))
+    path = tmp_path / "pre.pth"
+    save_pretrain_checkpoint(state, str(path), epoch=0)
+    ck = torch.load(path, map_location="cpu", weights_only=True)
+
+    sd = ck["model_state_dict"]
+    assert any(k.endswith("num_batches_tracked") for k in sd)
+    # a real torch Adam accepts the optimizer state
+    params = [torch.nn.Parameter(sd[k].clone().float())
+              for k in sd if not k.endswith(("running_mean", "running_var",
+                                             "num_batches_tracked"))]
+    opt = torch.optim.Adam(params, lr=2e-4, betas=(0.5, 0.999))
+    opt.load_state_dict(ck["optimizer_state_dict"])
+    st = opt.state[params[0]]
+    assert st["exp_avg"].shape == params[0].shape
+    assert float(st["step"]) == 1.0
+
+
+def test_pretrain_resume_fast_forwards_schedule(tmp_path):
+    """restore_opt_state must resume the cosine schedule at the saved step
+    (the reference restores the torch scheduler) and restore adam moments."""
+    from multi_style_transfer_gan_tpu.train.pretrain import (
+        pretrain_init_state, pretrain_train_step, restore_opt_state,
+        save_pretrain_checkpoint,
+    )
+    from multi_style_transfer_gan_tpu.weights import load_pth
+
+    state, tx = pretrain_init_state(jax.random.PRNGKey(0), channels=4,
+                                    num_epochs=4, steps_per_epoch=1)
+    x = jnp.asarray(np.tanh(np.random.default_rng(0)
+                            .standard_normal((2, 32, 32, 3))), jnp.float32)
+    for i in range(2):
+        state, _ = pretrain_train_step(state, tx, x,
+                                       jax.random.PRNGKey(i))
+    path = tmp_path / "pre.pth"
+    save_pretrain_checkpoint(state, str(path), epoch=1)
+
+    ck = load_pth(str(path))
+    opt = restore_opt_state(tx, state.params, 2,
+                            ck.get("optimizer_state_dict"))
+
+    counts, moments = [], []
+    def walk(s):
+        if hasattr(s, "_fields"):
+            if "count" in s._fields:
+                counts.append(int(s.count))
+            if "mu" in s._fields:
+                moments.append(s.mu)
+            for v in s:
+                walk(v)
+        elif isinstance(s, tuple):
+            for v in s:
+                walk(v)
+    walk(opt)
+    assert counts and all(c == 2 for c in counts)
+    # restored first-moment matches the live optimizer's
+    def adam_mu(o):
+        got = []
+        def g(s):
+            if hasattr(s, "_fields"):
+                if "mu" in s._fields:
+                    got.append(s.mu)
+                for v in s:
+                    g(v)
+            elif isinstance(s, tuple):
+                for v in s:
+                    g(v)
+        g(o)
+        return got[0]
+    live = adam_mu(state.opt)
+    rest = adam_mu(opt)
+    for k in live:
+        np.testing.assert_allclose(np.asarray(rest[k]), np.asarray(live[k]),
+                                   atol=1e-6)
+
+
+def test_random_patch_mask_rectangular():
+    from multi_style_transfer_gan_tpu.data import random_patch_mask
+
+    m = random_patch_mask(jax.random.PRNGKey(0), 2, 64, width=128)
+    assert m.shape == (2, 64, 128, 1)
+    with pytest.raises(ValueError, match="divisible"):
+        random_patch_mask(jax.random.PRNGKey(0), 2, 60)
+
+
+def test_save_models_always_exports_weight_v(tmp_path):
+    """Even before any power iteration (v=None) the discriminators .pth
+    must carry weight_v so torch spectral_norm strict-loads."""
+    import torch
+
+    from multi_style_transfer_gan_tpu.train.cyclegan import (
+        cyclegan_init_state, save_models,
+    )
+
+    state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4,
+                                num_transformer_blocks=1)
+    save_models(state, str(tmp_path), epoch=1)
+    ck = torch.load(tmp_path / "discriminators_epoch_1.pth",
+                    map_location="cpu", weights_only=True)
+    for name in ("D_A_state_dict", "D_B_state_dict"):
+        sd = ck[name]
+        us = {k[:-len(".weight_u")] for k in sd if k.endswith(".weight_u")}
+        vs = {k[:-len(".weight_v")] for k in sd if k.endswith(".weight_v")}
+        assert us and us == vs
+
+
+def test_extra_g_loss_hook_runs():
+    """The documented perceptual hook wires into the train step and
+    contributes gradients (total loss grows, step still finite)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from feature_oracle import make_vgg16_sd
+
+    from multi_style_transfer_gan_tpu.train.cyclegan import (
+        cyclegan_init_state, cyclegan_train_step, make_optimizers,
+    )
+    from multi_style_transfer_gan_tpu.train.perceptual import (
+        make_extra_g_loss, vgg16_from_torchvision_sd,
+    )
+
+    vgg = vgg16_from_torchvision_sd(make_vgg16_sd(np.random.default_rng(2)))
+    hook = make_extra_g_loss(vgg, w_perceptual=1.0, w_gram=1.0)
+    state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4,
+                                num_transformer_blocks=1)
+    g_tx, d_tx = make_optimizers()
+    x = jnp.asarray(np.tanh(np.random.default_rng(0)
+                            .standard_normal((1, 32, 32, 3))), jnp.float32)
+    state, losses = jax.jit(lambda s, a, b: cyclegan_train_step(
+        s, a, b, g_tx, d_tx, extra_g_loss=hook, remat=False))(state, x, x)
+    assert all(np.isfinite(float(v)) for v in losses.values())
