@@ -103,6 +103,7 @@ def _run_epochs(args, monet, photo, state, step_fn, sharding, mask_key,
 
     for epoch in range(start_epoch, args.num_epochs):
         t0 = time.time()
+        epoch_total, epoch_count = 0.0, 0  # across BOTH domains
         for name, ds in (("monet", monet), ("photo", photo)):
             it = ds.batches(args.batch_size, seed=args.seed + epoch, epochs=1,
                             process_index=jax.process_index(),
@@ -119,6 +120,8 @@ def _run_epochs(args, monet, photo, state, step_fn, sharding, mask_key,
                           f"loss {total / count:.4f}")
                     metrics.log(epoch=epoch + 1, domain=name, step=i + 1,
                                 loss=total / count)
+            epoch_total += total
+            epoch_count += count
             if count:
                 print(f"epoch {epoch + 1} [{name}]: mean loss "
                       f"{total / count:.4f}")
@@ -127,7 +130,8 @@ def _run_epochs(args, monet, photo, state, step_fn, sharding, mask_key,
         if (epoch + 1) % args.checkpoint_every == 0:
             path = os.path.join(args.save_dir,
                                 f"generator_pretrain_epoch_{epoch + 1}.pth")
-            save_pretrain_checkpoint(state, path, epoch, total / max(count, 1))
+            save_pretrain_checkpoint(state, path, epoch,
+                                     epoch_total / max(epoch_count, 1))
             print(f"checkpoint saved: {path}")
         print(f"epoch {epoch + 1}/{args.num_epochs} done "
               f"({time.time() - t0:.1f}s)")

@@ -231,7 +231,10 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     if mesh is not None:
         from ..parallel import data_sharding, local_batch_size
 
-        batch_size = max(batch_size, mesh.shape["data"])
+        # the shrunk batch must still divide over the data axis (a valid
+        # user batch size shrunk for a small folder must stay valid)
+        dp = mesh.shape["data"]
+        batch_size = ((max(batch_size, dp) + dp - 1) // dp) * dp
         local_batch_size(batch_size, mesh)  # validates divisibility
         batch_sharding = data_sharding(mesh, 4)
 
@@ -337,15 +340,19 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                                           out_path, canvas))
             n_done += 1
 
-    for chunk, sizes, dev_batch in batches():
-        dev_out = run_fn(dev_batch)  # async dispatch
-        pending.append((chunk, sizes, dev_out))
-        if len(pending) > 1:  # keep one batch in flight
+    try:
+        for chunk, sizes, dev_batch in batches():
+            dev_out = run_fn(dev_batch)  # async dispatch
+            pending.append((chunk, sizes, dev_out))
+            if len(pending) > 1:  # keep one batch in flight
+                drain(pending.pop(0))
+        while pending:
             drain(pending.pop(0))
-    while pending:
-        drain(pending.pop(0))
-    for s in saves:
-        s.result()
+        for s in saves:
+            s.result()
+    finally:
+        decode_pool.shutdown(wait=False)
+        save_pool.shutdown(wait=True)
     elapsed = time.perf_counter() - t0
     print(f"done: {n_done}/{len(files)} images in {elapsed:.2f}s "
           f"({n_done / max(elapsed, 1e-9):.2f} img/s, "

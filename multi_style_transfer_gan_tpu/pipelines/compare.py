@@ -15,14 +15,15 @@ from PIL import Image
 
 import jax.numpy as jnp
 
-from ..ops import to_model_range, from_model_range, aspect_crop_bounds
+from ..ops import to_model_range, from_model_range, restore_aspect
 from .batch import _decode_canvas, _postprocess
 from .model_loader import LoadedModel
 
 
 def compare_models(enhanced: LoadedModel, cyclegan: LoadedModel, img_path,
                    output_dir, strength: float = 0.8, detail: float = 0.6):
-    """Returns dict of output paths {original, enhanced, cyclegan, figure}."""
+    """Returns dict of output paths {enhanced, cyclegan, figure} (the
+    original is shown in the figure, not re-saved)."""
     os.makedirs(output_dir, exist_ok=True)
     canvas, (w, h) = _decode_canvas(img_path, canvas=256, fill=255)
     batch = jnp.asarray(canvas)[None]
@@ -34,13 +35,8 @@ def compare_models(enhanced: LoadedModel, cyclegan: LoadedModel, img_path,
     cyc_out = from_model_range(cyclegan.apply(x))[0] * 255.0
 
     def finish(arr255, name):
-        img = Image.fromarray(
-            np.asarray(jnp.clip(jnp.round(arr255), 0, 255)).astype(np.uint8))
-        l, t, r, b = aspect_crop_bounds(w, h, 256)
-        if (l, t, r, b) != (0, 0, 256, 256):
-            img = img.crop((l, t, r, b))
-        if w * h <= 1024 * 1024:
-            img = img.resize((w, h), Image.LANCZOS)
+        u8 = np.asarray(jnp.clip(jnp.round(arr255), 0, 255)).astype(np.uint8)
+        img = restore_aspect(u8, (w, h), 256)
         p = os.path.join(output_dir, f"compare_{name}.png")
         img.save(p)
         return p, img

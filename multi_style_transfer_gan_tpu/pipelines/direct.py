@@ -26,7 +26,10 @@ def _load_rgb(path) -> np.ndarray:
 
 def _save_rgb(arr01, path):
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    img = np.asarray(np.clip(np.asarray(arr01) * 255.0, 0, 255), np.uint8)
+    # round like torchvision's save_image (mul(255).add_(0.5)) — a plain
+    # cast truncates and biases every pixel -0.5 LSB
+    img = np.asarray(np.clip(np.round(np.asarray(arr01) * 255.0), 0, 255),
+                     np.uint8)
     Image.fromarray(img).save(path)
 
 

@@ -62,9 +62,9 @@ def analyze_segments(img_np: np.ndarray, segments: np.ndarray) -> dict:
     WHOLE frame (:102-110) — computed for all segments in one batched
     device Sobel.
     """
-    import cv2
-
-    hsv = cv2.cvtColor(img_np, cv2.COLOR_RGB2HSV)
+    # cv2-convention HSV from our own op — keeps the default felzenszwalb
+    # path opencv-free
+    hsv = np.asarray(rgb_to_hsv(jnp.asarray(img_np, jnp.float32)))
     seg_ids = np.unique(segments)
     n = len(seg_ids)
     flat = segments.ravel()
@@ -109,12 +109,14 @@ def analyze_segments(img_np: np.ndarray, segments: np.ndarray) -> dict:
 
 def determine_blend_ratios(segment_stats: dict, segments: np.ndarray,
                            img_shape) -> np.ndarray:
-    """Per-segment blend ratio (:126-176)."""
-    blend_map = np.zeros(img_shape[:2], np.float32)
+    """Per-segment blend ratio (:126-176). One per-segment scalar pass +
+    a single vectorized lookup (no per-segment full-frame masks)."""
     cy, cx = img_shape[0] // 2, img_shape[1] // 2
     max_dist = np.sqrt(cx ** 2 + cy ** 2)
-    for sid, st in segment_stats.items():
-        mask = segments == sid
+    seg_ids = np.unique(segments)
+    ratios = np.empty(len(seg_ids), np.float32)
+    for i, sid in enumerate(seg_ids):
+        st = segment_stats[int(sid)]
         edge_factor = 0.3 * (st["edge_density"] / 30)
         color_var = 0.2 * (np.mean(st["std_color"]) / 50)
         py, px = st["position"]
@@ -125,7 +127,8 @@ def determine_blend_ratios(segment_stats: dict, segments: np.ndarray,
         sat_factor = 0.2 * (st["avg_color_hsv"][1] / 255)
         ratio = 0.7 + edge_factor + color_var - dist_factor \
             + size_factor + sat_factor
-        blend_map[mask] = max(0.3, min(0.9, ratio))
+        ratios[i] = max(0.3, min(0.9, ratio))
+    blend_map = ratios[np.searchsorted(seg_ids, segments)]
     return np.asarray(gaussian_filter(jnp.asarray(blend_map), 3.0))
 
 
@@ -165,6 +168,9 @@ def enhanced_local_style_transfer(model: LoadedModel, img_path, output_path,
     l, t, r, b = aspect_crop_bounds(width, height, 256)
     if (l, t, r, b) != (0, 0, 256, 256):
         out = out.crop((l, t, r, b))
+    # reference-faithful guard (enhanced_local_style.py:280-281): sources
+    # SMALLER than the canvas keep their crop size — unlike the batch
+    # pipeline's restore, which resizes whenever <=1MP
     if (width > 256 or height > 256) and width * height <= 1024 * 1024:
         out = out.resize((width, height), Image.LANCZOS)
 

@@ -35,8 +35,12 @@ class LoadedModel:
     precision: str = "default"
 
 
-def _sniff_direction(ckpt) -> str | None:
+def _sniff_direction(ckpt, prefer: str | None = None) -> str | None:
     if isinstance(ckpt, dict):
+        # a dual checkpoint contains BOTH generators: report the one the
+        # caller asked for, not whichever key happens to come first
+        if prefer and prefer in ckpt and "state_dict" in prefer:
+            return "BA" if "BA" in prefer else "AB"
         if "G_AB_state_dict" in ckpt:
             return "AB"
         if "G_BA_state_dict" in ckpt:
@@ -50,7 +54,7 @@ def load_generator(path, prefer: str | None = None,
     model type and width (direct_transform.py:10-42 semantics: tries
     G_AB_state_dict first, then G_BA, then a raw state dict)."""
     ckpt = load_pth(path)
-    direction = _sniff_direction(ckpt)
+    direction = _sniff_direction(ckpt, prefer)
     sd = extract_state_dict(ckpt, prefer=prefer)
     kind = detect_model_kind(sd)
     channels = detect_channels(sd)
