@@ -17,9 +17,7 @@ pretrain.py:60-97).
 
 from __future__ import annotations
 
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -97,6 +97,8 @@ def spectral_normalize(w_orig, u, v=None, *, n_power_iterations=1, eps=1e-12,
 
     uu = u.astype(jnp.float32)
     if update:
+        if v is None and n_power_iterations < 1:
+            v = _l2n(mat.T @ uu)  # initialize like the first iteration
         for _ in range(n_power_iterations):
             v = _l2n(mat.T @ uu)
             uu = _l2n(mat @ v)
@@ -108,3 +110,20 @@ def spectral_normalize(w_orig, u, v=None, *, n_power_iterations=1, eps=1e-12,
         v = v.astype(jnp.float32)
     sigma = uu @ (mat @ v)
     return (w_orig / sigma).astype(w_orig.dtype), uu.astype(u.dtype), v
+
+
+def l2_normalize(u, eps: float = 1e-12):
+    """Zero-safe F.normalize over the last axis (fp32 result).
+
+    A position whose vector is exactly 0 must yield 0 with FINITE
+    gradients — naive x/sqrt(sum(x^2)) NaNs the backward pass there. This
+    is the parity-critical normalize of the windowed channel attention
+    (enhanced_generator.py:6-47 reference); the Pallas kernels re-derive
+    the same guard in-kernel.
+    """
+    uf = u.astype(jnp.float32)
+    sumsq = jnp.sum(jnp.square(uf), axis=-1, keepdims=True)
+    zero = sumsq == 0
+    n = jnp.sqrt(jnp.where(zero, 1.0, sumsq))
+    n = jnp.where(zero, 0.0, n)
+    return uf / jnp.maximum(n, eps)

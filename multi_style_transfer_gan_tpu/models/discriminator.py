@@ -73,19 +73,22 @@ def discriminator_apply(params, sn_state, x, *, update_sn: bool = True):
       structure_map is (B, H/16-1, W/16-1, 1).
     """
     new_sn = {}
+    # stride/padding come from the _CONVS table (single source of truth)
+    _spec = {name: (stride, pad) for name, _, stride, pad, _, _ in _CONVS}
 
-    def snconv(h, name, *, stride=1, padding=1):
+    def snconv(h, name):
         st = sn_state[name]
         w, u, v = spectral_normalize(params[f"{name}.weight_orig"],
                                      st["u"], st.get("v"), update=update_sn)
         new_sn[name] = {"u": u, "v": v}
+        stride, padding = _spec[name]
         return conv2d(h, w, params[f"{name}.bias"], stride=stride,
                       padding=padding)
 
-    h = leaky_relu(snconv(x, "main.0", stride=2), 0.2)
-    h = leaky_relu(instance_norm(snconv(h, "main.2", stride=2)), 0.2)
-    h = leaky_relu(instance_norm(snconv(h, "main.5", stride=2)), 0.2)
-    feats = leaky_relu(instance_norm(snconv(h, "main.8", stride=2)), 0.2)
+    h = leaky_relu(snconv(x, "main.0"), 0.2)
+    h = leaky_relu(instance_norm(snconv(h, "main.2")), 0.2)
+    h = leaky_relu(instance_norm(snconv(h, "main.5")), 0.2)
+    feats = leaky_relu(instance_norm(snconv(h, "main.8")), 0.2)
 
     score = snconv(feats, "batch_head.0")            # (B, h-1, w-1, 1)
     score = jnp.mean(score, axis=(1, 2, 3))          # GAP -> (B,)

@@ -136,17 +136,10 @@ def _attention_math(x, wqkv, bqkv, wproj, bproj, *, window_size, eps):
     t = t.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
     q, k, v = jnp.split(t, 3, axis=-1)  # (Bw, ws^2, C)
 
-    # F.normalize(dim=channel): unit L2 over channels at every position.
-    # Zero-safe: a position whose channel vector is exactly 0 (ReLU zeroed
-    # everything and qkv bias is 0) must yield 0 with *finite* gradients —
-    # naive sqrt(sum(x^2)) NaNs the whole backward pass there.
-    def _norm(u):
-        uf = u.astype(jnp.float32)
-        sumsq = jnp.sum(jnp.square(uf), axis=-1, keepdims=True)
-        zero = sumsq == 0
-        n = jnp.sqrt(jnp.where(zero, 1.0, sumsq))
-        n = jnp.where(zero, 0.0, n)
-        return uf / jnp.maximum(n, eps)
+    # F.normalize(dim=channel): unit L2 over channels at every position
+    # (zero-safe shared helper, core.norm.l2_normalize)
+    from ..core.norm import l2_normalize as _norm_impl
+    _norm = lambda u: _norm_impl(u, eps)
 
     qn, kn = _norm(q), _norm(k)
     # attn[c1, c2] = sum_t qn[t, c1] * kn[t, c2]   -> (Bw, C, C)

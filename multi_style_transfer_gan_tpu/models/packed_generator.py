@@ -19,7 +19,6 @@ forward to float rounding (~1e-5 fp32; verified in tests/test_packed.py).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,8 @@ from ..core.activations import gelu
 from ..ops.packed import (
     space_to_depth, depth_to_space,
     pack_conv2d_spec, pack_conv2d_weight, packed_conv2d,
-    pack_conv_transpose2d_weight, packed_conv_transpose2d,
+    pack_conv_transpose2d_weight, pack_conv_transpose2d_spec,
+    packed_conv_transpose2d,
     packed_instance_norm, packed_per_channel_linear,
     packed_window_channel_attention, packed_global_avg_pool,
 )
@@ -188,7 +188,8 @@ def _packed_window8_mhsa(tokens_p, qkv_w, qkv_b, proj_w, proj_b, dim):
     """
     B, Hp, Wp, Cp = tokens_p.shape
     P = F * F
-    heads = max(1, dim // 32)
+    from .structural_transformer import default_num_heads
+    heads = default_num_heads(dim)
     hd = dim // heads
 
     qkv = packed_per_channel_linear(tokens_p, qkv_w.T, qkv_b, F)
@@ -298,9 +299,8 @@ def packed_enhanced_generator_apply(packed, x, *, fast_attention=False):
 
     spec7 = pack_conv2d_spec(7, f_in=F, f_out=F, stride=1, padding=3)
     spec4s2 = pack_conv2d_spec(4, f_in=F, f_out=F, stride=2, padding=1)
-    _, _, spect = pack_conv_transpose2d_weight(jnp.zeros((4, 4, 1, 1)), None,
-                                               f_in=F, f_out=F, stride=2,
-                                               padding=1)
+    spect = pack_conv_transpose2d_spec(4, f_in=F, f_out=F, stride=2,
+                                       padding=1)
 
     h = relu(packed_instance_norm(
         packed_conv2d(xp, p["initial.0.weight"], p["initial.0.bias"], spec7),

@@ -17,7 +17,6 @@ Parameter keys mirror the PyTorch state_dict:
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

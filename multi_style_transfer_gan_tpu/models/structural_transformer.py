@@ -74,6 +74,18 @@ def structural_transformer_init(key, dim: int, dtype=jnp.float32):
     return p
 
 
+def default_num_heads(dim: int) -> int:
+    """Largest head count <= dim//32 that DIVIDES dim (1 if none): the
+    naive max(1, dim//32) crashes split_heads for widths like 112 where
+    dim//32 doesn't divide dim (channel width is checkpoint-auto-detected,
+    so arbitrary widths reach here). Matches the old formula at every
+    standard width (dim = 4*channels for channels 16/32/64)."""
+    h = max(1, dim // 32)
+    while dim % h:
+        h -= 1
+    return h
+
+
 def _layer_norm(x, w, b, eps=1e-5):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -93,7 +105,7 @@ def _window_attention(tokens, grid_hw, qkv_w, qkv_b, proj_w, proj_b,
     """
     B, N, C = tokens.shape
     H, W = grid_hw
-    heads = num_heads or max(1, C // 32)
+    heads = num_heads or default_num_heads(C)
     hd = C // heads
 
     qkv = linear(tokens, qkv_w, qkv_b)  # (B, N, 3C)
@@ -117,6 +129,16 @@ def _window_attention(tokens, grid_hw, qkv_w, qkv_b, proj_w, proj_b,
     scale = 1.0 / jnp.sqrt(jnp.array(hd, jnp.float32))
     attn = jnp.einsum("bhtd,bhsd->bhts", q, k,
                       preferred_element_type=jnp.float32) * scale
+    if pad_h or pad_w:
+        # mask padded KEYS or their exp(0)=1 terms dilute every real
+        # query's softmax in boundary windows (zero-pad qkv is not enough)
+        valid = jnp.pad(jnp.ones((H, W), jnp.float32),
+                        ((0, pad_h), (0, pad_w)))
+        valid = valid.reshape(nh, window, nw, window)
+        valid = valid.transpose(0, 2, 1, 3).reshape(nh * nw,
+                                                    window * window)
+        key_mask = jnp.tile(valid, (B, 1))[:, None, None, :]  # (Bw,1,1,S)
+        attn = jnp.where(key_mask > 0, attn, -jnp.inf)
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v,
                      preferred_element_type=jnp.float32).astype(tokens.dtype)

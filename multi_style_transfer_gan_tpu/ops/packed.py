@@ -187,6 +187,20 @@ def _convt_axis_map(K: int, stride: int, pad: int, f_in: int, f_out: int):
     return M, e_min, K_p, S_pp
 
 
+def pack_conv_transpose2d_spec(K, *, f_in: int, f_out: int, stride=1,
+                               padding=0):
+    """The static {stride, padding, kernel} spec of a repacked transposed
+    conv — host-side integer math only; matches
+    pack_conv_transpose2d_weight."""
+    Kh, Kw = (K, K) if isinstance(K, int) else tuple(K)
+    s = (stride, stride) if isinstance(stride, int) else tuple(stride)
+    p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    _, emin_i, Kph, sp_h = _convt_axis_map(Kh, s[0], p[0], f_in, f_out)
+    _, emin_j, Kpw, sp_w = _convt_axis_map(Kw, s[1], p[1], f_in, f_out)
+    return {"stride": (sp_h, sp_w), "padding": ((-emin_i), (-emin_j)),
+            "kernel": (Kph, Kpw)}
+
+
 def pack_conv_transpose2d_weight(w, b, *, f_in: int, f_out: int, stride=1,
                                  padding=0):
     """Repack an HWIO transposed-conv kernel for packed execution.
@@ -287,13 +301,8 @@ def packed_window_channel_attention(x, wqkv, bqkv, wproj, bproj, *, f: int,
     qkv = qkv + bqkv.astype(qkv.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def _norm(u):
-        uf = u.astype(jnp.float32)
-        ss = jnp.sum(jnp.square(uf), axis=-1, keepdims=True)
-        zero = ss == 0
-        n = jnp.sqrt(jnp.where(zero, 1.0, ss))
-        n = jnp.where(zero, 0.0, n)
-        return uf / jnp.maximum(n, eps)
+    from ..core.norm import l2_normalize as _norm_impl
+    _norm = lambda u: _norm_impl(u, eps)
 
     qn, kn = _norm(q), _norm(k)
     attn = jnp.einsum("btc,btd->bcd", qn, kn,

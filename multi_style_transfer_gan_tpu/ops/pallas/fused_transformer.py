@@ -141,7 +141,8 @@ def fused_structural_block(x, struct, gamma, beta, *,
     Returns (B, H, W, C) block output in x.dtype.
     """
     B, H, W, C = x.shape
-    heads = num_heads or max(1, C // 32)
+    from ...models.structural_transformer import default_num_heads
+    heads = num_heads or default_num_heads(C)
     f32 = jnp.float32
 
     def t(w):  # torch (out, in) -> matmul (in, out), fp32 resident

@@ -131,3 +131,34 @@ def test_enhanced_generator_ssim_vs_torch(rng):
     s = float(ssim(from_model_range(jnp.asarray(_nhwc(ref))),
                    from_model_range(out))[0])
     assert s >= 0.99, s
+
+
+def test_enhanced_generator_padded_token_grid(rng):
+    """80x80 input -> token grid 20x20, NOT divisible by the transformer's
+    window 8: padded attention keys must be masked (softmax mass must not
+    leak to zero-pad positions in boundary windows)."""
+    sd = oracle.make_enhanced_sd(rng, c=4, num_blocks=1)
+    params = enhanced_generator_from_sd(sd)
+    x = np.tanh(rng.standard_normal((1, 3, 80, 80))).astype(np.float32)
+    ref = oracle.enhanced_generator_forward(sd, torch.from_numpy(x)).numpy()
+    out = enhanced_generator_apply(params, jnp.asarray(_nhwc(x)))
+    np.testing.assert_allclose(np.asarray(out), _nhwc(ref), atol=5e-4)
+
+
+def test_non_multiple_of_32_channel_width():
+    """channels=28 -> transformer dim 112: head count must divide the dim
+    (max(1, dim//32)=3 does not divide 112 and used to crash split_heads)."""
+    from multi_style_transfer_gan_tpu.models.structural_transformer import (
+        default_num_heads,
+    )
+
+    from multi_style_transfer_gan_tpu.models import enhanced_generator_init
+    import jax
+
+    assert default_num_heads(112) == 2
+    assert default_num_heads(64) == 2 and default_num_heads(128) == 4
+    params = enhanced_generator_init(jax.random.PRNGKey(0), channels=28,
+                                     num_transformer_blocks=1)
+    out = enhanced_generator_apply(
+        params, jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert out.shape == (1, 32, 32, 3)

@@ -113,6 +113,16 @@ def structural_block_forward(sd, p, tokens, style, orig, grid_hw, window=8):
 
     q, k, v = heads_split(q), heads_split(k), heads_split(v)
     attn = (q @ k.transpose(-2, -1)) / (hd ** 0.5)
+    if ph or pw:
+        # padded keys are masked out (spec: padded tokens only attend
+        # within their window and are cropped after — their zero-qkv
+        # exp(0) terms must not dilute real queries' softmax)
+        valid = torch.ones(H, W)
+        valid = F.pad(valid, (0, pw, 0, ph))
+        valid = (valid.view(nh, window, nw, window)
+                      .permute(0, 2, 1, 3).reshape(nh * nw, window * window))
+        valid = valid.repeat(B, 1)[:, None, None, :]
+        attn = attn.masked_fill(valid == 0, float("-inf"))
     attn = attn.softmax(dim=-1)
     out = (attn @ v).permute(0, 2, 1, 3).reshape(-1, window * window, C)
     out = (out.view(B, nh, nw, window, window, C)
