@@ -17,8 +17,9 @@ sha256, remember-me), then a notebook with four tabs
 Threading model matches the reference: daemon worker threads +
 ``root.after`` marshaling + an ``is_processing`` reentrancy flag
 (:716-767). Models load once after login from the reference's fixed
-paths under ./models (:119-278), tolerantly (missing models disable their
-tabs instead of crashing).
+paths under ./models (:119-278), tolerantly (a missing/still-loading
+model surfaces a clear error dialog from its tab instead of crashing
+the app).
 
 Run: ``python -m multi_style_transfer_gan_tpu.gui.app``
 """
@@ -67,9 +68,18 @@ class ModelManager:
                 log(f"failed to load {attr}: {e}")
 
     def pick(self, family: str, direction: str):
-        """family in {enhanced, cyclegan}; direction photo2monet/monet2photo."""
+        """family in {enhanced, cyclegan}; direction photo2monet/monet2photo.
+
+        Raises a clear error while the model is still loading or its file is
+        missing (surfaced as the worker's error dialog) instead of letting
+        workers crash on None.apply."""
         suffix = "ba" if direction == "photo2monet" else "ab"
-        return getattr(self, f"{family}_{suffix}")
+        model = getattr(self, f"{family}_{suffix}")
+        if model is None:
+            raise RuntimeError(
+                f"{family} model for {direction} is not loaded (still "
+                f"loading, or missing from {self.models_dir}/)")
+        return model
 
 
 def _process_standard(model, img_path, out_path, *, blend_original=0.0,
@@ -99,8 +109,8 @@ def _process_standard(model, img_path, out_path, *, blend_original=0.0,
         out = fix_color_blocks(out, canvas_f)
     if enhance_colors:
         if direction == "photo2monet":
-            # channel boost B x1.1, G x1.05 (:861-872)
-            out = out * jnp.asarray([1.0, 1.05, 1.1])
+            # channel boost B x1.1, G x1.05, uint8-saturating (:861-872)
+            out = jnp.clip(out * jnp.asarray([1.0, 1.05, 1.1]), 0, 255)
         else:
             out = convert_scale_abs(out, 1.1, 5)
     # smoothing is gated on BOTH the level and the adaptive-smooth toggle,
@@ -112,15 +122,14 @@ def _process_standard(model, img_path, out_path, *, blend_original=0.0,
 
 def _finish_and_save(res, w, h, out_path):
     """Clamp, aspect-crop, restore original size (<=1MP), save — the shared
-    tail of every GUI worker (gan_login_gui.py:874-899)."""
+    tail of every GUI worker (gan_login_gui.py:874-899); delegates to the
+    batch pipeline's save helper so the recipe exists once."""
     import jax.numpy as jnp
 
-    from ..ops import restore_aspect
+    from ..pipelines.batch import _restore_and_save
 
     out_u8 = np.asarray(jnp.clip(jnp.round(res), 0, 255)).astype(np.uint8)
-    img = restore_aspect(out_u8, (w, h), 256)
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    img.save(out_path)
+    _restore_and_save(out_u8, (w, h), out_path, 256)
     return out_path
 
 
@@ -300,11 +309,13 @@ def main():
                     return
                 state["busy"] = True
                 prog.start(10)
+                # snapshot Tk variables on the MAIN thread — Variable.get()
+                # talks to the Tcl interpreter and is not thread-safe
+                cfg = {k: v.get() for k, v in controls.items()}
 
                 def work():
                     try:
-                        out = runner(sel["path"],
-                                     {k: v.get() for k, v in controls.items()})
+                        out = runner(sel["path"], cfg)
 
                         def done(out=out):
                             show_panel(out_panel, out)

@@ -131,3 +131,20 @@ def felzenszwalb_native(img_smoothed01: np.ndarray, scale: float = 100.0,
         ctypes.c_float(scale), min_size,
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return labels
+
+
+def lanczos_resize(img: np.ndarray, size_hw):
+    """PIL-compatible Lanczos-3 resize of an HWC uint8 image via the native
+    library ("the plain resize for the save path"); None when the library
+    is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    nh, nw = size_hw
+    dst = np.empty((nh, nw, 3), np.uint8)
+    lib.mstgan_resize(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nh, nw)
+    return dst

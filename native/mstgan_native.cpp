@@ -89,6 +89,10 @@ Image decode_png(FILE* f) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return out;
   }
+  // constructed BEFORE setjmp: longjmp past a vector's initialization is
+  // UB and leaks its buffer; constructed-then-jumped-over objects in scope
+  // are destroyed on the normal return below.
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return out;
@@ -106,7 +110,7 @@ Image decode_png(FILE* f) {
   out.w = png_get_image_width(png, info);
   out.h = png_get_image_height(png, info);
   out.rgb.resize(size_t(out.w) * out.h * 3);
-  std::vector<png_bytep> rows(out.h);
+  rows.resize(out.h);
   for (int y = 0; y < out.h; ++y)
     rows[y] = out.rgb.data() + size_t(y) * out.w * 3;
   png_read_image(png, rows.data());

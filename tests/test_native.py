@@ -69,3 +69,21 @@ def test_felzenszwalb_native_matches_python(structured_img):
     # the three quadrant colors land in different segments
     assert lab[10, 10] != lab[10, 150]
     assert lab[10, 10] != lab[100, 80]
+
+
+def test_native_lanczos_resize_matches_pil():
+    from multi_style_transfer_gan_tpu.native import available, lanczos_resize
+
+    if not available():
+        import pytest
+        pytest.skip("native library unavailable")
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((80, 60, 3)) * 255).astype(np.uint8)
+    out = lanczos_resize(img, (40, 30))
+    ref = np.asarray(Image.fromarray(img).resize((30, 40), Image.LANCZOS))
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    # PIL uses int16 fixed-point resampling; ours is double — tiny deltas
+    assert diff.mean() < 0.5 and np.quantile(diff, 0.999) <= 5, diff.mean()
