@@ -32,6 +32,11 @@ def main(argv=None):
                    help="append one JSON line per logged step/epoch here")
     p.add_argument("--image_size", type=int, default=256,
                    help="training resolution (reference fixes 256)")
+    p.add_argument("--resume_dir", type=str, default=None,
+                   help="orbax checkpoint dir: full native resume (params"
+                        " + optimizer moments + spectral-norm buffers +"
+                        " epoch); checkpoints are written there every"
+                        " --checkpoint_every alongside the .pth exports")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache, MetricsLogger
@@ -72,6 +77,16 @@ def main(argv=None):
     state = cyclegan_init_state(jax.random.PRNGKey(args.seed), args.channels,
                                 args.num_transformer_blocks,
                                 pretrained_params=pre)
+    start_epoch = 0
+    if args.resume_dir:
+        from ..train.checkpoint import latest_step, restore_train_state
+
+        if latest_step(args.resume_dir) is not None:
+            state, start_epoch = restore_train_state(args.resume_dir, None,
+                                                     state)
+            print(f"resumed from {args.resume_dir} at epoch {start_epoch}")
+        else:
+            print(f"no checkpoints under {args.resume_dir}; starting fresh")
     g_tx, d_tx = make_optimizers()
     mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
@@ -84,7 +99,7 @@ def main(argv=None):
         fast_attention=args.fast_attention), donate_argnums=0)
 
     try:
-        for epoch in range(args.num_epochs):
+        for epoch in range(start_epoch, args.num_epochs):
             t0 = time.time()
             # batches stay host numpy until prefetch: on a multi-host pod
             # each process decodes only its slice and prefetch assembles the
@@ -109,6 +124,10 @@ def main(argv=None):
                     metrics.log(epoch=epoch + 1, step=i + 1, **vals)
             if (epoch + 1) % args.checkpoint_every == 0:
                 save_models(jax.device_get(state), args.save_dir, epoch + 1)
+                if args.resume_dir:
+                    from ..train.checkpoint import save_train_state
+
+                    save_train_state(state, args.resume_dir, epoch + 1)
                 print(f"checkpoints saved at epoch {epoch + 1}")
             dt = time.time() - t0
             print(f"epoch {epoch + 1}/{args.num_epochs} done ({dt:.1f}s)")

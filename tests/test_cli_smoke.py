@@ -228,3 +228,20 @@ def test_train_cli_one_epoch(env, tmp_path):
              open(tmp_path / "metrics.jsonl").read().splitlines()]
     assert any("g_loss" in ln for ln in lines)
     assert any("img_pairs_per_sec" in ln for ln in lines)
+
+
+def test_train_cli_orbax_resume(env, tmp_path):
+    """--resume_dir: full native resume (epoch advances, run completes)."""
+    from multi_style_transfer_gan_tpu.cli.train import main
+
+    common = ["--data_root", str(env / "data"), "--save_dir", str(tmp_path),
+              "--batch_size", "2", "--channels", "4",
+              "--num_transformer_blocks", "1", "--checkpoint_every", "1",
+              "--log_every", "1", "--image_size", "64",
+              "--resume_dir", str(tmp_path / "orbax")]
+    main(common + ["--num_epochs", "1"])
+    assert (tmp_path / "orbax" / "step_1").exists()
+    # second invocation resumes at epoch 1 and trains epoch 2
+    main(common + ["--num_epochs", "2"])
+    assert (tmp_path / "orbax" / "step_2").exists()
+    assert any(n.startswith("G_AB_epoch_2") for n in os.listdir(tmp_path))
