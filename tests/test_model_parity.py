@@ -162,3 +162,26 @@ def test_non_multiple_of_32_channel_width():
     out = enhanced_generator_apply(
         params, jnp.zeros((1, 32, 32, 3), jnp.float32))
     assert out.shape == (1, 32, 32, 3)
+
+
+@pytest.mark.parametrize("c", [4, 8, 12, 28])
+def test_import_detect_fuzz_widths(rng, tmp_path, c):
+    """Importer fuzz: arbitrary channel widths round-trip through every
+    checkpoint flavor with correct kind/width detection and a working
+    forward (widths are auto-detected in the wild, direct_transform:25-30)."""
+    from multi_style_transfer_gan_tpu.pipelines import load_generator
+    from multi_style_transfer_gan_tpu.weights import (
+        detect_channels, detect_model_kind, extract_state_dict, load_pth,
+    )
+
+    sd = oracle.make_enhanced_sd(rng, c=c, num_blocks=1)
+    for flavor in ("G_AB_state_dict", "G_BA_state_dict",
+                   "model_state_dict", None):
+        path = tmp_path / f"f_{c}_{flavor}.pth"
+        torch.save(sd if flavor is None else {"epoch": 1, flavor: sd}, path)
+        raw = extract_state_dict(load_pth(str(path)))
+        assert detect_model_kind(raw) == "enhanced"
+        assert detect_channels(raw) == c
+        model = load_generator(str(path))
+        out = model.apply(jnp.zeros((1, 32, 32, 3), jnp.float32))
+        assert out.shape == (1, 32, 32, 3)
