@@ -14,7 +14,10 @@ import argparse
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="style-transfer serving")
-    p.add_argument("--model", type=str, required=True)
+    p.add_argument("--model", type=str, required=True, nargs="+",
+                   help="one or two checkpoints; with two, requests route "
+                        "by ?direction= (labels from each checkpoint's "
+                        "G_AB/G_BA key: AB=monet2photo, BA=photo2monet)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--canvas", type=int, default=256)
@@ -51,20 +54,28 @@ def main(argv=None):
     from ..pipelines import load_generator
     from ..serving import StyleTransferService, serve
 
-    model = load_generator(args.model, precision=args.precision)
-    print(f"loaded {model.kind} generator (channels={model.channels}, "
-          f"direction={model.direction})")
-    service = StyleTransferService(
-        model, canvas=args.canvas, max_batch=args.max_batch,
-        max_wait_ms=args.max_wait_ms, mode=args.mode,
-        local_style_mode=args.local_style_mode, strength=args.strength,
-        detail=args.detail, enhance_colors=args.enhance_colors,
-        smooth=args.smooth,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None,
-        fast_attention=args.fast_attention, engine=args.engine,
-        max_queue=args.max_queue)
+    dir_label = {"AB": "monet2photo", "BA": "photo2monet"}
+    services = {}
+    for i, path in enumerate(args.model):
+        model = load_generator(path, precision=args.precision)
+        print(f"loaded {model.kind} generator (channels={model.channels}, "
+              f"direction={model.direction}) from {path}")
+        name = dir_label.get(model.direction, f"model{i}")
+        if name in services:  # two checkpoints with the same direction key
+            name = f"{name}_{i}"
+        services[name] = StyleTransferService(
+            model, canvas=args.canvas, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, mode=args.mode,
+            local_style_mode=args.local_style_mode, strength=args.strength,
+            detail=args.detail, enhance_colors=args.enhance_colors,
+            smooth=args.smooth,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            fast_attention=args.fast_attention, engine=args.engine,
+            max_queue=args.max_queue)
+    print(f"directions: {sorted(services)} "
+          f"(default {next(iter(services))})")
     print("warming up (one compile of the fixed batch shape)...")
-    server = serve(service, args.host, args.port)
+    server = serve(services, args.host, args.port)
     print(f"serving on http://{server.server_address[0]}:"
           f"{server.server_address[1]}  (POST /stylize, GET /stats)")
     try:
@@ -73,7 +84,8 @@ def main(argv=None):
         pass
     finally:
         server.shutdown()
-        service.close()
+        for s in services.values():
+            s.close()
 
 
 if __name__ == "__main__":

@@ -271,7 +271,9 @@ class StyleTransferService:
         self.batcher.close()
 
 
-def _make_handler(service: StyleTransferService):
+def _make_handler(services: dict):
+    default_name = next(iter(services))
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet; /stats has the counters
             pass
@@ -287,14 +289,28 @@ def _make_handler(service: StyleTransferService):
             if self.path == "/healthz":
                 self._send(200, b"ok", "text/plain")
             elif self.path == "/stats":
-                self._send(200, json.dumps(service.stats()).encode(),
+                stats = (services[default_name].stats()
+                         if len(services) == 1 else
+                         {k: s.stats() for k, s in services.items()})
+                self._send(200, json.dumps(stats).encode(),
                            "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
-            if self.path.split("?")[0] != "/stylize":
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            if url.path != "/stylize":
                 self._send(404, b"not found", "text/plain")
+                return
+            direction = parse_qs(url.query).get("direction",
+                                                [default_name])[0]
+            service = services.get(direction)
+            if service is None:
+                self._send(400, (f"error: unknown direction {direction!r}; "
+                                 f"available: {sorted(services)}").encode(),
+                           "text/plain")
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -310,10 +326,18 @@ def _make_handler(service: StyleTransferService):
     return Handler
 
 
-def serve(service: StyleTransferService, host: str = "127.0.0.1",
+def serve(service, host: str = "127.0.0.1",
           port: int = 8000, warmup: bool = True) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever() or use the
-    CLI). ``port=0`` picks a free port (``server.server_address``)."""
+    CLI). ``port=0`` picks a free port (``server.server_address``).
+
+    ``service``: one StyleTransferService, or a dict {direction: service}
+    for multi-direction routing (``POST /stylize?direction=photo2monet``);
+    the first entry is the default when no direction is given.
+    """
+    services = (service if isinstance(service, dict)
+                else {"default": service})
     if warmup:
-        service.warmup()
-    return ThreadingHTTPServer((host, port), _make_handler(service))
+        for s in services.values():
+            s.warmup()
+    return ThreadingHTTPServer((host, port), _make_handler(services))

@@ -197,3 +197,51 @@ def test_abandoned_requests_are_skipped():
         assert b.images == 2
     finally:
         b.close()
+
+
+def test_http_multi_direction_routing(model):
+    """Two services route by ?direction=; unknown direction -> 400."""
+    params2 = enhanced_generator_init(jax.random.PRNGKey(9), channels=4,
+                                      num_transformer_blocks=1)
+    model2 = LoadedModel(kind="enhanced", channels=4, direction=None,
+                         params=params2,
+                         apply=lambda x: enhanced_generator_apply(params2, x),
+                         precision="default")
+    s1 = StyleTransferService(model, canvas=64, max_batch=2, max_wait_ms=2.0)
+    s2 = StyleTransferService(model2, canvas=64, max_batch=2, max_wait_ms=2.0)
+    server = serve({"photo2monet": s1, "monet2photo": s2}, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    host, port = server.server_address
+    try:
+        body = _png_bytes(64, 64, seed=3)
+        outs = {}
+        for d in ("photo2monet", "monet2photo"):
+            req = urllib.request.Request(
+                f"http://{host}:{port}/stylize?direction={d}",
+                data=body, method="POST")
+            outs[d] = urllib.request.urlopen(req).read()
+        # different weights -> different stylizations
+        a = np.asarray(Image.open(io.BytesIO(outs["photo2monet"])), int)
+        b = np.asarray(Image.open(io.BytesIO(outs["monet2photo"])), int)
+        assert np.abs(a - b).mean() > 1.0
+
+        # default (no param) routes to the first service
+        req = urllib.request.Request(f"http://{host}:{port}/stylize",
+                                     data=body, method="POST")
+        urllib.request.urlopen(req).read()
+        import json
+        stats = json.loads(urllib.request.urlopen(
+            f"http://{host}:{port}/stats").read())
+        assert stats["photo2monet"]["requests"] == 2
+        assert stats["monet2photo"]["requests"] == 1
+
+        req = urllib.request.Request(
+            f"http://{host}:{port}/stylize?direction=nope",
+            data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        s1.close()
+        s2.close()
