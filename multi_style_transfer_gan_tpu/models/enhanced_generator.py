@@ -51,20 +51,28 @@ from .structural_transformer import (
 # ---------------------------------------------------------------------------
 
 def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
-    """Fast-kernel dispatch: same math, one VMEM-resident pass instead of
-    qkv/attn/proj HBM round trips. Two kernels by channel width: the
-    full-resolution C=16 stage uses the dense block-diagonal packed-row
-    kernel (v3 — 2.3x over v1 at 512^2 C=16, where lane sparsity starves
-    v1); wider C keeps the per-window v1 kernel (measured faster from C=32
-    up — v3's flattened C*C lanes grow quadratically). MXU passes may run
-    bf16, so the parity-critical 'highest' path keeps the XLA formulation
-    in _attention_math."""
+    """Fast-path dispatch: same math, implementation picked per channel
+    width from chip A/B (scripts/ab_attention_vs_xla.py, min-over-rounds):
+    - C<=16 (512^2 stage): dense block-diagonal packed-row Pallas kernel
+      (v3 — 75.7 ms vs v1 156.0 ms at 512^2 C=16 x96; lane sparsity
+      starves v1, and the XLA einsum OOMs at this activation size).
+    - C=32 (256^2 stage): plain XLA einsum (46.7 ms vs v1 54.9 / v3 67.6
+      at 256^2 C=32 x96 — XLA's fusion beats both hand kernels here; v3's
+      flattened C*C lanes grow quadratically, v1's K=ws^2=16 matmuls
+      under-fill the MXU).
+    - C>=64 (128^2 stage): per-window v1 Pallas kernel (21.8 ms vs XLA
+      49.6 ms — the C x C attention matmuls are now MXU-sized).
+    MXU passes may run bf16, so the parity-critical 'highest' path stays
+    on _attention_math via fast=False."""
     C = x.shape[-1]
     if C <= 16 and window_size == 4:
         from ..ops.pallas.window_attention_v3 import window_attention_v3
 
         return window_attention_v3(x, wqkv, bqkv, wproj, bproj,
                                    window_size=window_size, eps=eps)
+    if C <= 32:
+        return _attention_math(x, wqkv, bqkv, wproj, bproj,
+                               window_size=window_size, eps=eps)
     from ..ops.pallas import fused_window_channel_attention
 
     return fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
