@@ -28,6 +28,14 @@ def main(argv=None):
     p.add_argument("--fast_attention", action="store_true",
                    help="fused Pallas kernels for generator forwards "
                         "(XLA-formulation backward via custom_vjp)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize generator stages in backward "
+                        "(the reference's gradient-checkpointing mode, "
+                        "enhanced_train.py:24-25). Off by default: at the "
+                        "reference config the recompute costs 26%% step "
+                        "time and HBM has headroom "
+                        "(scripts/ab_remat_train_step.py); enable for "
+                        "large batch/resolution runs that OOM")
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append one JSON line per logged step/epoch here")
     p.add_argument("--image_size", type=int, default=256,
@@ -95,7 +103,7 @@ def main(argv=None):
     # donate the state: XLA updates params/opt/sn buffers in place instead
     # of allocating a second copy of every train-state array each step
     step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
-        s, a, b, g_tx, d_tx, compute_dtype=dtype,
+        s, a, b, g_tx, d_tx, compute_dtype=dtype, remat=args.remat,
         fast_attention=args.fast_attention), donate_argnums=0)
 
     try:

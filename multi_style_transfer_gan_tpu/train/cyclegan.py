@@ -103,7 +103,13 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
     Returns (new_state, losses_dict) — losses match the reference's returned
     dict keys (enhanced_train.py:125-131). remat=True rematerializes
     generator stages in the backward pass — the reference enables gradient
-    checkpointing for CycleGAN training (enhanced_train.py:24-25).
+    checkpointing for CycleGAN training (enhanced_train.py:24-25). The
+    math is identical either way; on a v5e chip at the reference config
+    the recompute costs 21-26% step time while HBM has headroom
+    (scripts/ab_remat_train_step.py: 320 vs 404 ms/step at batch 8,
+    632 vs 764 at batch 16, 256^2 bf16), so the train CLI defaults to
+    remat off and exposes --remat for memory-bound runs; the function
+    default stays True (safe for arbitrary callers).
     fast_attention=True runs generator forwards through the fused Pallas
     kernels with the XLA-formulation backward (custom_vjp; see
     enhanced_generator_apply) — opt-in, since the fwd/bwd pairing differs
