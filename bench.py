@@ -30,8 +30,8 @@ import jax
 import jax.numpy as jnp
 
 SIZE = 512
-BATCH = 128  # batch-size sweep (v3 kernels): 127 img/s @16, 228 @32,
-             # 237 @64, 339 @96, 364 @128; 128 is the largest that compiles
+BATCH = 128  # batch-size sweep (post C=32-einsum dispatch): 375 img/s @96,
+             # 410 @128, 341 @160, 373 @192; 128 is the sweet spot
 ITERS = 6
 BASELINE_PER_CHIP = 1000.0 / 8.0
 # (batch, fast_attention), best first — shared by main() and prewarm()

@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append one JSON line per logged step/epoch here")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (the reference pretrain runs torch "
+                        "autocast — pretrain.py:160; bf16 needs no loss "
+                        "scaling)")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache, MetricsLogger
@@ -81,8 +85,9 @@ def main(argv=None):
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
     # donate the state: in-place param/opt buffer reuse on device
-    step_fn = jax.jit(lambda s, x, k: pretrain_train_step(s, tx, x, k),
-                      donate_argnums=0)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    step_fn = jax.jit(lambda s, x, k: pretrain_train_step(
+        s, tx, x, k, compute_dtype=dtype), donate_argnums=0)
 
     os.makedirs(args.save_dir, exist_ok=True)
     mask_key = jax.random.PRNGKey(args.seed + 1)

@@ -21,6 +21,9 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--remat", action="store_true",
+                   help="remat generator stages (CLI default is off now; "
+                        "fast-vs-xla was originally measured remat-on)")
     args = p.parse_args()
 
     from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
@@ -40,7 +43,8 @@ def main():
     def make(fast):
         return jax.jit(functools.partial(
             cyclegan_train_step, g_tx=g_tx, d_tx=d_tx,
-            compute_dtype=jnp.bfloat16, remat=True, fast_attention=fast))
+            compute_dtype=jnp.bfloat16, remat=args.remat,
+            fast_attention=fast))
 
     cands = {"xla": make(False), "fast": make(True)}
     best = {k: float("inf") for k in cands}

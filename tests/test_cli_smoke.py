@@ -176,7 +176,7 @@ def test_pretrain_cli_one_epoch(env, tmp_path):
 
     main(["--data_root", str(env / "data"), "--save_dir", str(tmp_path),
           "--num_epochs", "1", "--batch_size", "2", "--channels", "4",
-          "--checkpoint_every", "1", "--log_every", "1",
+          "--checkpoint_every", "1", "--log_every", "1", "--bf16",
           "--metrics_log", str(tmp_path / "metrics.jsonl")])
     assert os.listdir(tmp_path)  # wrote a checkpoint
     import json
