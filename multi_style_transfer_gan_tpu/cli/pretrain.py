@@ -29,10 +29,12 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append one JSON line per logged step/epoch here")
-    p.add_argument("--bf16", action="store_true",
-                   help="bf16 compute (the reference pretrain runs torch "
-                        "autocast — pretrain.py:160; bf16 needs no loss "
-                        "scaling)")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bf16 compute — the default (the reference pretrain "
+                        "runs torch autocast by default, pretrain.py:160; "
+                        "bf16 needs no loss scaling)")
+    p.add_argument("--fp32", action="store_true",
+                   help="full fp32 compute (overrides the bf16 default)")
     args = p.parse_args(argv)
 
     from ..utils import enable_compilation_cache, MetricsLogger
@@ -85,7 +87,7 @@ def main(argv=None):
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
     # donate the state: in-place param/opt buffer reuse on device
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     step_fn = jax.jit(lambda s, x, k: pretrain_train_step(
         s, tx, x, k, compute_dtype=dtype), donate_argnums=0)
 

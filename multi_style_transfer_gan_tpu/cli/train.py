@@ -23,8 +23,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpoint_every", type=int, default=20)
     p.add_argument("--log_every", type=int, default=10)
-    p.add_argument("--bf16", action="store_true",
-                   help="bf16 compute (replaces torch AMP)")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bf16 compute — the default, mirroring the "
+                        "reference's AMP-by-default training "
+                        "(enhanced_train.py:46) and 1.33x faster than fp32 "
+                        "on the chip (320 vs 425 ms/step)")
+    p.add_argument("--fp32", action="store_true",
+                   help="full fp32 compute (overrides the bf16 default)")
     p.add_argument("--fast_attention", action="store_true",
                    help="fused Pallas kernels for generator forwards "
                         "(XLA-formulation backward via custom_vjp)")
@@ -99,7 +104,7 @@ def main(argv=None):
     mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     # donate the state: XLA updates params/opt/sn buffers in place instead
     # of allocating a second copy of every train-state array each step
     step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
