@@ -56,10 +56,13 @@ def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
     - C<=16 (512^2 stage): dense block-diagonal packed-row Pallas kernel
       (v3 — 75.7 ms vs v1 156.0 ms at 512^2 C=16 x96; lane sparsity
       starves v1, and the XLA einsum OOMs at this activation size).
-    - C=32 (256^2 stage): plain XLA einsum (46.7 ms vs v1 54.9 / v3 67.6
-      at 256^2 C=32 x96 — XLA's fusion beats both hand kernels here; v3's
-      flattened C*C lanes grow quadratically, v1's K=ws^2=16 matmuls
-      under-fill the MXU).
+    - C=32, large grids (the 512^2-input 256^2 stage): plain XLA einsum
+      (46.7 ms vs v1 54.9 / v3 67.6 at 256^2 C=32 x96 — XLA's fusion
+      beats both hand kernels here; v3's flattened C*C lanes grow
+      quadratically, v1's K=ws^2=16 matmuls under-fill the MXU). At small
+      grids v1 flips back ahead (128^2 C=32 x96: v1 17.8 vs einsum 21.8
+      — the relayout overhead the einsum pays stops amortizing), so the
+      einsum only dispatches from 256^2 spatial up.
     - C>=64 (128^2 stage): per-window v1 Pallas kernel (21.8 ms vs XLA
       49.6 ms — the C x C attention matmuls are now MXU-sized).
     MXU passes may run bf16, so the parity-critical 'highest' path stays
@@ -70,7 +73,7 @@ def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
 
         return window_attention_v3(x, wqkv, bqkv, wproj, bproj,
                                    window_size=window_size, eps=eps)
-    if C <= 32:
+    if C <= 32 and x.shape[1] * x.shape[2] >= 256 * 256:
         return _attention_math(x, wqkv, bqkv, wproj, bproj,
                                window_size=window_size, eps=eps)
     from ..ops.pallas import fused_window_channel_attention
