@@ -52,28 +52,41 @@ from .structural_transformer import (
 
 def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
     """Fast-path dispatch: same math, implementation picked per channel
-    width from chip A/B (scripts/ab_attention_vs_xla.py, min-over-rounds):
-    - C<=16 (512^2 stage): dense block-diagonal packed-row Pallas kernel
-      (v3 — 75.7 ms vs v1 156.0 ms at 512^2 C=16 x96; lane sparsity
-      starves v1, and the XLA einsum OOMs at this activation size).
-    - C=32, large grids (the 512^2-input 256^2 stage): plain XLA einsum
-      (46.7 ms vs v1 54.9 / v3 67.6 at 256^2 C=32 x96 — XLA's fusion
-      beats both hand kernels here; v3's flattened C*C lanes grow
-      quadratically, v1's K=ws^2=16 matmuls under-fill the MXU). At small
-      grids v1 flips back ahead (128^2 C=32 x96: v1 17.8 vs einsum 21.8
-      — the relayout overhead the einsum pays stops amortizing), so the
-      einsum only dispatches from 256^2 spatial up.
+    width from chip A/B (scripts/ab_attention_vs_xla.py +
+    scripts/ab_grouped_attention.py, min-over-rounds):
+    - C<=32 with a ws=4-compatible grid: grouped-Gram Pallas kernel
+      (window_attention_grouped.py) — g = 128//C windows' Grams per dense
+      128x128 MXU pass. Beat the prior per-width winners in a same-run
+      A/B (x96, bf16): 1.15x over v3 at 512^2 C=16, 1.22x over the XLA
+      einsum at 256^2 C=32, consistent across widths (uniformly-degraded
+      shared-chip day — ratios, not absolutes; see docs/PERFORMANCE.md).
+    - C=32 small grids without grouped eligibility: v1 (128^2 C=32 x96:
+      v1 17.8 ms vs einsum 21.8 — relayout overhead stops amortizing).
     - C>=64 (128^2 stage): per-window v1 Pallas kernel (21.8 ms vs XLA
-      49.6 ms — the C x C attention matmuls are now MXU-sized).
-    MXU passes may run bf16, so the parity-critical 'highest' path stays
-    on _attention_math via fast=False."""
-    C = x.shape[-1]
+      49.6 ms — the C x C attention matmuls are MXU-sized; grouped's
+      g=2 stacking measured only 1.04x, inside noise).
+    Prior per-width winners kept for reference: v3 75.7 ms / v1 156.0 /
+    einsum OOM at 512^2 C=16 x96; einsum 46.7 / v1 54.9 / v3 67.6 at
+    256^2 C=32 x96. MXU passes may run bf16, so the parity-critical
+    'highest' path stays on _attention_math via fast=False."""
+    B, H, W, C = x.shape
+    if window_size == 4 and C <= 32 and 128 % C == 0:
+        g = 128 // C
+        n_win = B * (H // 4) * (W // 4)
+        if n_win % g == 0 and (C <= 16 or H * W >= 256 * 256):
+            from ..ops.pallas.window_attention_grouped import (
+                grouped_window_channel_attention,
+            )
+
+            return grouped_window_channel_attention(
+                x, wqkv, bqkv, wproj, bproj, window_size=window_size,
+                eps=eps)
     if C <= 16 and window_size == 4:
         from ..ops.pallas.window_attention_v3 import window_attention_v3
 
         return window_attention_v3(x, wqkv, bqkv, wproj, bproj,
                                    window_size=window_size, eps=eps)
-    if C <= 32 and x.shape[1] * x.shape[2] >= 256 * 256:
+    if C <= 32 and H * W >= 256 * 256:
         return _attention_math(x, wqkv, bqkv, wproj, bproj,
                                window_size=window_size, eps=eps)
     from ..ops.pallas import fused_window_channel_attention

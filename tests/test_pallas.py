@@ -16,6 +16,8 @@ from multi_style_transfer_gan_tpu.models.enhanced_generator import (
 @pytest.fixture
 def interpret_pallas(monkeypatch):
     import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
+        as wag
 
     orig = pl.pallas_call
 
@@ -25,6 +27,7 @@ def interpret_pallas(monkeypatch):
 
     monkeypatch.setattr(wa.pl, "pallas_call", interp)
     monkeypatch.setattr(wa3.pl, "pallas_call", interp)
+    monkeypatch.setattr(wag.pl, "pallas_call", interp)
 
 
 @pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 32, 32)])
@@ -47,6 +50,60 @@ def test_fused_window_attention_matches_reference(rng, interpret_pallas,
         x, params["a.qkv.weight"], params["a.qkv.bias"],
         params["a.proj.weight"], params["a.proj.bias"],
         window_size=4, tile_windows=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 64, 32),
+                                   (1, 32, 64, 64), (3, 16, 16, 8)])
+def test_grouped_window_attention_matches_reference(rng, shape):
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
+        import grouped_window_channel_attention
+
+    B, H, W, C = shape
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    params = {
+        "a.qkv.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, 3 * C)).astype(np.float32) * 0.1),
+        "a.qkv.bias": jnp.asarray(
+            rng.standard_normal((3 * C,)).astype(np.float32)),
+        "a.proj.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, C)).astype(np.float32) * 0.1),
+        "a.proj.bias": jnp.asarray(
+            rng.standard_normal((C,)).astype(np.float32)),
+    }
+    ref = local_attention_apply(params, x, prefix="a.", window_size=4)
+    got = grouped_window_channel_attention(
+        x, params["a.qkv.weight"], params["a.qkv.bias"],
+        params["a.proj.weight"], params["a.proj.bias"],
+        window_size=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_zero_window_is_zero_safe(rng):
+    # a window of exact zeros must not NaN (zero-safe normalize parity)
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
+        import grouped_window_channel_attention
+
+    C = 16
+    x = np.asarray(rng.standard_normal((1, 8, 32, C)), np.float32)
+    x[0, :4, :4] = 0.0
+    xj = jnp.asarray(x)
+    params = {
+        "a.qkv.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, 3 * C)).astype(np.float32) * 0.1),
+        "a.qkv.bias": jnp.zeros((3 * C,), jnp.float32),
+        "a.proj.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, C)).astype(np.float32) * 0.1),
+        "a.proj.bias": jnp.zeros((C,), jnp.float32),
+    }
+    ref = local_attention_apply(params, xj, prefix="a.", window_size=4)
+    got = grouped_window_channel_attention(
+        xj, params["a.qkv.weight"], params["a.qkv.bias"],
+        params["a.proj.weight"], params["a.proj.bias"],
+        window_size=4, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
