@@ -56,15 +56,15 @@ def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
     scripts/ab_grouped_attention.py, min-over-rounds):
     - C<=32 with a ws=4-compatible grid: grouped-Gram Pallas kernel
       (window_attention_grouped.py) — g = 128//C windows' Grams per dense
-      128x128 MXU pass. Beat the prior per-width winners in a same-run
-      A/B (x96, bf16): 1.15x over v3 at 512^2 C=16, 1.22x over the XLA
-      einsum at 256^2 C=32, consistent across widths (uniformly-degraded
-      shared-chip day — ratios, not absolutes; see docs/PERFORMANCE.md).
-    - C=32 small grids without grouped eligibility: v1 (128^2 C=32 x96:
-      v1 17.8 ms vs einsum 21.8 — relayout overhead stops amortizing).
+      128x128 MXU pass. Same-run A/Bs (x96, bf16, two degraded-chip runs):
+      1.15x/0.98x over v3 at 512^2 C=16 (ambiguous; kept — flagship bench
+      moved 413->425.8), 1.22x/1.36x over the XLA einsum at 256^2 C=32,
+      1.51x over v1 at 128^2 C=32 (the 256^2-canvas pipeline's stage) —
+      so grouped covers C<=32 at EVERY grid size. Ratios, not absolutes;
+      see docs/PERFORMANCE.md.
     - C>=64 (128^2 stage): per-window v1 Pallas kernel (21.8 ms vs XLA
       49.6 ms — the C x C attention matmuls are MXU-sized; grouped's
-      g=2 stacking measured only 1.04x, inside noise).
+      g=2 stacking measured 1.04x/1.03x, inside noise).
     Prior per-width winners kept for reference: v3 75.7 ms / v1 156.0 /
     einsum OOM at 512^2 C=16 x96; einsum 46.7 / v1 54.9 / v3 67.6 at
     256^2 C=32 x96. MXU passes may run bf16, so the parity-critical
@@ -73,7 +73,7 @@ def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
     if window_size == 4 and C <= 32 and 128 % C == 0:
         g = 128 // C
         n_win = B * (H // 4) * (W // 4)
-        if n_win % g == 0 and (C <= 16 or H * W >= 256 * 256):
+        if n_win % g == 0:
             from ..ops.pallas.window_attention_grouped import (
                 grouped_window_channel_attention,
             )

@@ -114,6 +114,87 @@ def _expand_weights(wqkv, bqkv, wproj, bproj, g: int, C: int):
     return wqkv_big, bqkv_big, wproj_big, bproj_big, mblk, mblk.T
 
 
+def _run_grouped(s, expanded, *, P: int, C: int, g: int, eps: float,
+                 tile_groups: int | None, interpret: bool):
+    """Kernel launch on lane-stacked groups s: (G, P, g*C) -> same shape."""
+    G = s.shape[0]
+    if tile_groups is None:
+        # fp32 (Gt,128,128) logits + e dominate VMEM: 2 MB each at Gt=32,
+        # comfortably inside the 16 MiB scoped limit with qkv + weights.
+        tile_groups = 32
+    Gt = min(tile_groups, G)
+    while G % Gt:
+        Gt -= 1
+    grid = (G // Gt,)
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Gt, P, g * C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((g * C, 3 * g * C)),
+            const((3 * g * C,)),
+            const((g * C, g * C)),
+            const((g * C,)),
+            const((g * C, g)),
+            const((g, g * C)),
+        ],
+        out_specs=pl.BlockSpec((Gt, P, g * C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, P, g * C), s.dtype),
+        interpret=interpret,
+    )(s, *expanded)
+
+
+def packed_grouped_window_attention(x, wqkv, bqkv, wproj, bproj, *,
+                                    C: int | None = None,
+                                    tile_groups: int | None = None,
+                                    eps: float = 1e-12,
+                                    interpret: bool = False):
+    """Grouped-Gram kernel on an ALREADY-PACKED tensor (ops/packed.py layout).
+
+    x: (B, Hp, Wp, P*C) with lane order (position, channel) — one packed
+    pixel per LocalAttention window (P = ws^2 = 16). Unlike
+    packed_window_attention_v3 this pays one XLA transpose each way to
+    reach the lane-stacked (G, P, g*C) group layout; the chip A/B decides
+    whether the g x fewer MXU issues buy that back.
+    """
+    wqkv = wqkv.reshape(wqkv.shape[-2], wqkv.shape[-1])
+    wproj = wproj.reshape(wproj.shape[-2], wproj.shape[-1])
+    if C is None:
+        C = wqkv.shape[0]
+    B, Hp, Wp, Cp = x.shape
+    P = Cp // C
+    g = 128 // C
+    if g < 2 or 128 % C:
+        raise ValueError(f"grouped kernel needs 128 % C == 0 and C <= 64, "
+                         f"got C={C}")
+    expanded = _expand_weights(wqkv, bqkv, wproj, bproj, g, C)
+
+    if Wp % g == 0:  # g horizontally adjacent windows per group
+        G = B * Hp * (Wp // g)
+        s = x.reshape(B, Hp, Wp // g, g, P, C)
+        s = s.transpose(0, 1, 2, 4, 3, 5).reshape(G, P, g * C)
+        out = _run_grouped(s, expanded, P=P, C=C, g=g, eps=eps,
+                           tile_groups=tile_groups, interpret=interpret)
+        out = out.reshape(B, Hp, Wp // g, P, g, C)
+        out = out.transpose(0, 1, 2, 4, 3, 5)
+        return out.reshape(B, Hp, Wp, Cp)
+
+    R = B * Hp * Wp
+    if R % g:
+        raise ValueError(f"window count {R} not divisible by group size {g}")
+    G = R // g
+    s = x.reshape(G, g, P, C).transpose(0, 2, 1, 3).reshape(G, P, g * C)
+    out = _run_grouped(s, expanded, P=P, C=C, g=g, eps=eps,
+                       tile_groups=tile_groups, interpret=interpret)
+    out = out.reshape(G, P, g, C).transpose(0, 2, 1, 3)
+    return out.reshape(B, Hp, Wp, Cp)
+
+
 def grouped_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
                                      *, window_size: int = 4,
                                      tile_groups: int | None = None,
@@ -156,35 +237,8 @@ def grouped_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
         s = t.reshape(G, g, P, C).transpose(0, 2, 1, 3).reshape(G, P, g * C)
         fold = ("raster", t.shape)
 
-    if tile_groups is None:
-        # fp32 (Gt,128,128) logits + e dominate VMEM: 2 MB each at Gt=32,
-        # comfortably inside the 16 MiB scoped limit with qkv + weights.
-        tile_groups = 32
-    Gt = min(tile_groups, G)
-    while G % Gt:
-        Gt -= 1
-    grid = (G // Gt,)
-
-    const = lambda shape: pl.BlockSpec(
-        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((Gt, P, g * C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            const((g * C, 3 * g * C)),
-            const((3 * g * C,)),
-            const((g * C, g * C)),
-            const((g * C,)),
-            const((g * C, g)),
-            const((g, g * C)),
-        ],
-        out_specs=pl.BlockSpec((Gt, P, g * C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, P, g * C), x.dtype),
-        interpret=interpret,
-    )(s, *expanded)
+    out = _run_grouped(s, expanded, P=P, C=C, g=g, eps=eps,
+                       tile_groups=tile_groups, interpret=interpret)
 
     # inverse relayout back to NHWC
     if fold[0] == "adj":

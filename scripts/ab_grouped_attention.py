@@ -31,14 +31,35 @@ def main():
     if args.interpret:
         jax.config.update("jax_platforms", "cpu")
 
+    from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from multi_style_transfer_gan_tpu.models.enhanced_generator import (
-        _attention_fast, _attention_math,
+        _attention_math,
+    )
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention import (
+        fused_window_channel_attention as v1_attention,
+    )
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 import (
+        window_attention_v3,
     )
     from multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
         import grouped_window_channel_attention
 
+    # Explicit pre-grouped per-shape winners (docs/PERFORMANCE.md table) —
+    # NOT _attention_fast, which now routes C<=32 to the grouped kernel
+    # itself (an earlier revision of this script accidentally measured
+    # grouped-vs-grouped for exactly that reason).
+    def baseline_for(HW, C):
+        if C <= 16:
+            return lambda *a: window_attention_v3(*a, window_size=4,
+                                                  eps=1e-12), "v3"
+        if C <= 32 and HW >= 256:
+            return lambda *a: _attention_math(*a, window_size=4,
+                                              eps=1e-12), "einsum"
+        return lambda *a: v1_attention(*a, window_size=4, eps=1e-12), "v1"
+
     B = args.batch
-    shapes = [(512, 16), (256, 32), (128, 64)]
+    shapes = [(512, 16), (256, 32), (128, 64), (128, 32)]
     rng = np.random.default_rng(0)
 
     for HW, C in shapes:
@@ -62,7 +83,8 @@ def main():
             print(f"{HW}^2 C={C}: interpret max|d| = {d:.2e}")
             continue
 
-        cur = jax.jit(lambda *a: _attention_fast(*a, 4, 1e-12))
+        base_fn, base_name = baseline_for(HW, C)
+        cur = jax.jit(base_fn)
         grp = jax.jit(lambda *a: grouped_window_channel_attention(*a))
 
         # time in bf16 — the production pipeline dtype, and fp32 x96
@@ -79,21 +101,23 @@ def main():
         print(f"{HW}^2 C={C} x{B}: grouped-vs-math max|d| = {d:.2e}",
               flush=True)
 
-        def timeit(fn):
-            _ = np.asarray(fn(*fa))[0, :1, :1]  # drain warmup w/ fetch
-            best = 1e9
-            for _ in range(args.rounds):
-                t0 = time.perf_counter()
-                o = None
-                for _ in range(args.iters):
-                    o = fn(*fa)
-                _ = np.asarray(o)[0, :1, :1]
-                best = min(best,
-                           (time.perf_counter() - t0) / args.iters * 1e3)
-            return best
+        def run_once(fn):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(args.iters):
+                o = fn(*fa)
+            _ = np.asarray(o)[0, :1, :1]
+            return (time.perf_counter() - t0) / args.iters * 1e3
 
-        t_cur, t_grp = timeit(cur), timeit(grp)
-        print(f"{HW}^2 C={C} x{B}: current {t_cur:.1f} ms  "
+        # warmup both, then interleave rounds — the chip is time-shared,
+        # so back-to-back per-candidate timing biases the ratio with drift
+        _ = np.asarray(cur(*fa))[0, :1, :1]
+        _ = np.asarray(grp(*fa))[0, :1, :1]
+        t_cur = t_grp = 1e9
+        for _ in range(args.rounds):
+            t_cur = min(t_cur, run_once(cur))
+            t_grp = min(t_grp, run_once(grp))
+        print(f"{HW}^2 C={C} x{B}: {base_name} {t_cur:.1f} ms  "
               f"grouped {t_grp:.1f} ms  ({t_cur / t_grp:.2f}x)", flush=True)
 
 

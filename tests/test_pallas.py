@@ -156,6 +156,33 @@ def test_packed_attention_kernel_matches_reference(rng, interpret_packed_pallas,
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shape", [(2, 16, 32, 16), (1, 16, 16, 32),
+                                   (4, 8, 8, 8)])
+def test_packed_grouped_attention_matches_reference(rng, shape):
+    """Packed-layout grouped-Gram entry == reference math.
+
+    Shapes cover the adjacent-group fast relayout (Wp % g == 0) and the
+    raster fallback ((4,8,8,8): g=16 > Wp=2, but R=16 windows total)."""
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        local_attention_init,
+    )
+    from multi_style_transfer_gan_tpu.ops.packed import (
+        space_to_depth, depth_to_space,
+    )
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
+        import packed_grouped_window_attention
+
+    B, H, W, C = shape
+    params = local_attention_init(jax.random.PRNGKey(1), C)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    ref = local_attention_apply(params, x, prefix="")
+    got = depth_to_space(packed_grouped_window_attention(
+        space_to_depth(x, 4), params["qkv.weight"], params["qkv.bias"],
+        params["proj.weight"], params["proj.bias"], interpret=True), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("C", [8, 16, 32])
 def test_window_attention_v3_matches_reference(rng, C):
     """v3 (dense block-diagonal packed-row kernel) == reference math.
