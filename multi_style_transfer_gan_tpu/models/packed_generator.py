@@ -124,6 +124,24 @@ def _attention(p, x, prefix, fast=False):
         wqkv = p[f"{prefix}qkv.weight"]
         C = wqkv.shape[-2]
         if C <= 32:
+            # Large work: the grouped-Gram kernel's g x fewer MXU issues
+            # buy back its two relayout transposes — pipeline-level
+            # interleaved A/B (scripts/ab_packed_pipeline.py, 512^2):
+            # x96 grouped 1.11x over v3, x16 0.98x (wash). The window-
+            # count gate (>=300k) reproduces both: at 512^2 it admits
+            # the x96 stages (1.57M / 393k windows) and rejects x16
+            # (262k / 98k).
+            B, Hp, Wp = x.shape[:3]
+            R = B * Hp * Wp
+            g = 128 // C if C <= 64 else 0
+            if (g >= 2 and 128 % C == 0 and R % g == 0 and R >= 300_000):
+                from ..ops.pallas.window_attention_grouped import (
+                    packed_grouped_window_attention,
+                )
+
+                return packed_grouped_window_attention(
+                    x, wqkv, p[f"{prefix}qkv.bias"],
+                    p[f"{prefix}proj.weight"], p[f"{prefix}proj.bias"])
             from ..ops.pallas.window_attention_v3 import (
                 packed_window_attention_v3,
             )
