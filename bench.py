@@ -4,6 +4,15 @@ Runs the flagship EnhancedGenerator (deployed config: channels=16, one
 transformer block — enhanced_train.py:18) as a batched, jitted
 uint8-in/uint8-out inference pipeline and prints ONE JSON line.
 
+Besides the headline device metric the JSON line carries:
+- ``end_to_end``: the REAL folder pipeline — JPEG bytes on disk -> decode ->
+  stylize -> aspect-restore -> encoded output on disk (the
+  batch_process_images.py path, 256^2 canvas, native libjpeg-turbo host I/O)
+  — with the device-only 256^2 rate and the host-I/O roofline next to it.
+- ``mfu`` / ``hbm_util``: achieved FLOPs/s and HBM bytes/s of the headline
+  512^2 program against v5e peaks (197 TFLOP/s bf16, 819 GB/s), from XLA's
+  compiled cost analysis + the measured wall time.
+
 Method notes:
 - distinct input batches every iteration (defeats any result caching),
 - iterations dispatch back-to-back; timing brackets the chain and fetches a
@@ -22,6 +31,7 @@ round-trips (batch_process_images.py:498-536).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -37,6 +47,13 @@ BASELINE_PER_CHIP = 1000.0 / 8.0
 # (batch, fast_attention), best first — shared by main() and prewarm()
 CANDIDATES = [(BATCH, True), (96, True), (96, False), (32, True),
               (32, False)]
+
+# v5e (TPU v5 lite) single-chip peaks: 197 TFLOP/s bf16, 819 GB/s HBM.
+PEAK_FLOPS = 197e12
+PEAK_HBM = 819e9
+
+END_TO_END_N = 256        # folder size for the end-to-end run
+END_TO_END_SRC = 512      # source JPEG long side (realistic photo inputs)
 
 
 def _build_pipeline(fast_attention: bool):
@@ -165,12 +182,106 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     per_chip = batch_size * ITERS / best / n_chips
+
+    # --- MFU / HBM roofline of the headline program (VERDICT item 3) ------
+    mfu = hbm_util = None
+    try:
+        compiled = jax.jit(
+            lambda p, b: pipeline(p, b)).lower(params, batches[0]).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        t_batch = best / ITERS  # seconds per dispatched batch
+        if flops > 0:
+            mfu = round(flops / t_batch / PEAK_FLOPS / n_chips, 4)
+        if bytes_acc > 0:
+            hbm_util = round(bytes_acc / t_batch / PEAK_HBM / n_chips, 4)
+    except Exception as e:
+        print(f"# cost_analysis unavailable: {str(e)[:100]}", flush=True)
+
+    e2e = None
+    try:
+        e2e = end_to_end()
+    except Exception as e:
+        print(f"# end_to_end failed: {str(e)[:160]}", flush=True)
+
     print(json.dumps({
         "metric": "512x512 stylized images/sec/chip (EnhancedGenerator c16, bf16)",
         "value": round(per_chip, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+        "mfu": mfu,
+        "hbm_util": hbm_util,
+        "end_to_end": e2e,
     }))
+
+
+def end_to_end():
+    """The REAL folder pipeline: JPEG bytes on disk -> stylized, encoded
+    files on disk (batch_process_images.py path), 256^2 canvas, plus the
+    device-only rate of the same compiled program for the host-bound ratio.
+
+    This host has ONE core (nproc=1): the end-to-end rate is bounded by host
+    JPEG decode+encode throughput, not the device (scripts/ab_host_io.py
+    measures the host roofline; docs/PERFORMANCE.md discusses scaling on
+    multi-core hosts, where the native loader's threads spread the I/O)."""
+    import tempfile
+
+    from scripts.ab_host_io import make_folder
+    from multi_style_transfer_gan_tpu.models import (
+        enhanced_generator_init, enhanced_generator_apply,
+    )
+    from multi_style_transfer_gan_tpu.pipelines.model_loader import LoadedModel
+    from multi_style_transfer_gan_tpu.pipelines.batch import batch_process
+
+    params = enhanced_generator_init(jax.random.PRNGKey(0), channels=16,
+                                     num_transformer_blocks=1)
+    model = LoadedModel(kind="enhanced", channels=16, direction="AB",
+                        params=params,
+                        apply=lambda x: enhanced_generator_apply(params, x))
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        make_folder(src, END_TO_END_N, END_TO_END_SRC)
+        kwargs = dict(mode="cyclegan", batch_size=64,
+                      compute_dtype=jnp.bfloat16, fast_attention=True,
+                      canvas=256)
+        # run twice: first pays the jit, second is the measurement
+        batch_process(model, src, os.path.join(td, "warm"), **kwargs)
+        stats = batch_process(model, src, os.path.join(td, "out"), **kwargs)
+
+        # device-only rate of the SAME program on pre-staged batches
+        from multi_style_transfer_gan_tpu.pipelines.batch import make_batch_fn
+
+        run_fn = make_batch_fn(model, "cyclegan", "enhanced", 0.8, 0.7, True,
+                               True, compute_dtype=jnp.bfloat16,
+                               fast_attention=True)
+        rng = np.random.default_rng(0)
+        dev_batches = [jax.device_put(rng.integers(0, 256, (64, 256, 256, 3),
+                                                   dtype=np.uint8))
+                       for _ in range(4)]
+        best = float("inf")
+        for _ in range(4):
+            outs = [run_fn(b) for b in dev_batches]
+            _ = np.asarray(outs[-1][:, -1, -1, :])  # drain warmup
+            t0 = time.perf_counter()
+            outs = [run_fn(b) for b in dev_batches]
+            _ = np.asarray(outs[-1][:, -1, -1, :])
+            best = min(best, time.perf_counter() - t0)
+        device_only = 64 * len(dev_batches) / best
+
+    return {
+        "img_s": round(stats["imgs_per_sec"], 1),
+        "device_only_img_s": round(device_only, 1),
+        "host_bound_frac": round(
+            1.0 - stats["imgs_per_sec"] / max(device_only, 1e-9), 3),
+        "n_images": stats["processed"],
+        "canvas": 256,
+        "host_cores": os.cpu_count(),
+    }
 
 
 if __name__ == "__main__":

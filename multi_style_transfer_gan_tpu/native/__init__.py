@@ -68,6 +68,12 @@ def load_library():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
+        lib.mstgan_save_canvas_batch.restype = ctypes.c_int
+        lib.mstgan_save_canvas_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
         _LIB = lib
         return lib
 
@@ -114,6 +120,31 @@ def decode_canvas_batch(paths, canvas: int = 256, fill: int = 255,
             ok[i] = 1
     sizes = [(int(w), int(h)) for w, h in whs]
     return out, sizes, ok.astype(bool)
+
+
+def save_canvas_batch(batch: np.ndarray, sizes, paths, quality: int = 95,
+                      num_threads: int = 4):
+    """Save many stylized canvases: aspect-crop + resize back to original
+    size when <=1MP + JPEG/PNG encode (restore_aspect semantics —
+    batch_process_images.py:412-438), all native. Returns a bool ok array;
+    False entries (exotic extensions, unwritable paths) should fall back to
+    the PIL save path. None if the library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(paths)
+    batch = np.ascontiguousarray(batch, np.uint8)
+    assert batch.shape[0] == n and batch.shape[3] == 3
+    canvas = batch.shape[1]
+    whs = np.ascontiguousarray(np.asarray(sizes, np.int32).reshape(n, 2))
+    ok = np.zeros((n,), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lib.mstgan_save_canvas_batch(
+        batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, canvas,
+        whs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), arr, quality,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    return ok.astype(bool)
 
 
 def felzenszwalb_native(img_smoothed01: np.ndarray, scale: float = 100.0,

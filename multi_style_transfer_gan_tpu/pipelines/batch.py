@@ -275,13 +275,16 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
     save_pool = ThreadPoolExecutor(max_workers=decode_workers)
 
-    from ..native import available as native_available, decode_canvas_batch
+    from ..native import (
+        available as native_available, decode_canvas_batch,
+        save_canvas_batch,
+    )
 
-    # PIL releases the GIL in its (SIMD) decode/resize paths and measured
-    # faster per-image than the native loader (87 vs 56 img/s on this
-    # deployment's single-core host), so the thread-pool PIL path is the
-    # default; set MSTGAN_NATIVE_DECODE=1 to use the C++ loader instead.
-    use_native = (os.environ.get("MSTGAN_NATIVE_DECODE") == "1"
+    # The native loader (libjpeg-turbo DCT-scaled decode + float Lanczos)
+    # measured 5.0x PIL on decode and 1.6x on save (scripts/ab_host_io.py,
+    # single-core host: 272 vs 54 img/s decode, 111 vs 71 save), so it is
+    # the default; set MSTGAN_NATIVE_DECODE=0 to force the PIL path.
+    use_native = (os.environ.get("MSTGAN_NATIVE_DECODE") != "0"
                   and native_available())
 
     n_failed = 0
@@ -334,10 +337,19 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         nonlocal n_done
         chunk, sizes, dev_out = entry
         host = np.asarray(dev_out)  # D2H
-        for j, (f, wh) in enumerate(zip(chunk, sizes)):
-            out_path = os.path.join(out_dir, os.path.basename(f))
-            saves.append(save_pool.submit(_restore_and_save, host[j], wh,
-                                          out_path, canvas))
+        out_paths = [os.path.join(out_dir, os.path.basename(f))
+                     for f in chunk]
+        todo = range(len(chunk))
+        if use_native:
+            # native batch save (aspect-crop + resize-back + turbo encode);
+            # exotic extensions (BMP, ...) fall back to the PIL path below
+            ok = save_canvas_batch(host[:len(chunk)], sizes, out_paths,
+                                   num_threads=decode_workers)
+            n_done += int(ok.sum())
+            todo = [j for j in todo if not ok[j]]
+        for j in todo:
+            saves.append(save_pool.submit(_restore_and_save, host[j],
+                                          sizes[j], out_paths[j], canvas))
             n_done += 1
 
     try:

@@ -249,7 +249,7 @@ def adam_state_from_torch(opt_sd, params, kind: str):
         nu[k] = jnp.asarray(
             _import_tensor(k, np.asarray(_to_numpy(st["exp_avg_sq"])),
                            transposed), params[k].dtype)
-        count = int(round(float(np.asarray(_to_numpy(st["step"])))))
+        count = int(round(float(np.asarray(_to_numpy(st["step"])).reshape(-1)[0])))
     return mu, nu, count
 
 
@@ -261,7 +261,10 @@ def save_pth(obj, path):
         if isinstance(v, dict):
             return {k: conv(x) for k, x in v.items()}
         if isinstance(v, np.ndarray):
-            return torch.from_numpy(np.ascontiguousarray(v))
+            arr = np.ascontiguousarray(v)
+            if not arr.flags.writeable:  # torch warns on non-writable views
+                arr = arr.copy()
+            return torch.from_numpy(arr)
         if isinstance(v, jnp.ndarray):
             return torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
         return v

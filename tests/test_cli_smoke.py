@@ -185,6 +185,7 @@ def test_pretrain_cli_one_epoch(env, tmp_path):
     assert lines and any("loss" in ln or "mean_loss" in ln for ln in lines)
 
 
+@pytest.mark.slow
 def test_m_test_cli(env, tmp_path):
     from multi_style_transfer_gan_tpu.cli.m_test import main
 
@@ -213,6 +214,7 @@ def test_batch_process_images_cli(env, tmp_path):
     assert len(os.listdir(out)) == 3
 
 
+@pytest.mark.slow
 def test_train_cli_one_epoch(env, tmp_path):
     from multi_style_transfer_gan_tpu.cli.train import main
 
@@ -230,6 +232,7 @@ def test_train_cli_one_epoch(env, tmp_path):
     assert any("img_pairs_per_sec" in ln for ln in lines)
 
 
+@pytest.mark.slow
 def test_train_cli_orbax_resume(env, tmp_path):
     """--resume_dir: full native resume (epoch advances, run completes)."""
     from multi_style_transfer_gan_tpu.cli.train import main

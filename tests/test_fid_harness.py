@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 import torch
 from PIL import Image
@@ -12,6 +14,7 @@ from multi_style_transfer_gan_tpu.pipelines import load_generator
 from multi_style_transfer_gan_tpu.metrics.fid_harness import run_fid_eval
 
 
+@pytest.mark.slow
 def test_run_fid_eval(tmp_path):
     rng = np.random.default_rng(11)
     root = tmp_path / "monet2photo"

@@ -145,6 +145,7 @@ def test_enhanced_generator_padded_token_grid(rng):
     np.testing.assert_allclose(np.asarray(out), _nhwc(ref), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_non_multiple_of_32_channel_width():
     """channels=28 -> transformer dim 112: head count must divide the dim
     (max(1, dim//32)=3 does not divide 112 and used to crash split_heads)."""

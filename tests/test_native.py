@@ -87,3 +87,60 @@ def test_native_lanczos_resize_matches_pil():
     diff = np.abs(out.astype(int) - ref.astype(int))
     # PIL uses int16 fixed-point resampling; ours is double — tiny deltas
     assert diff.mean() < 0.5 and np.quantile(diff, 0.999) <= 5, diff.mean()
+
+
+def test_native_save_canvas_batch_matches_pil(tmp_path, structured_img, rng):
+    """Native save = aspect-crop + resize-back + encode (restore_aspect
+    semantics, batch_process_images.py:412-438)."""
+    from multi_style_transfer_gan_tpu.native import save_canvas_batch
+    from multi_style_transfer_gan_tpu.ops import restore_aspect
+
+    # smooth gradients: JPEG loss (esp. 4:2:0 chroma) stays small, so the
+    # comparison isolates the crop/resize geometry, not codec noise
+    g = np.linspace(0, 255, 256)
+    styled = np.stack([np.stack([
+        np.add.outer(g * s, g * (1 - s)) / 2 + 40 * s for s in (0.2, 0.5, 0.8)
+    ], -1)] * 3).astype(np.uint8)
+    styled += (rng.integers(0, 3, styled.shape)).astype(np.uint8)
+    sizes = [(320, 240), (240, 320), (2048, 1536)]  # last one >1MP: crop only
+    paths = [str(tmp_path / f"out_{i}.png") for i in range(2)] + [
+        str(tmp_path / "out_2.jpg")]
+    ok = save_canvas_batch(styled, sizes, paths)
+    assert ok is not None and ok.all()
+    for i, (p, wh) in enumerate(zip(paths, sizes)):
+        got = np.asarray(Image.open(p).convert("RGB"))
+        ref = np.asarray(restore_aspect(styled[i], wh, 256))
+        assert got.shape == ref.shape
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        tol = 1.0 if p.endswith(".png") else 6.0  # JPEG is lossy
+        assert diff.mean() < tol, (p, diff.mean())
+
+
+def test_native_save_unknown_extension_falls_back(tmp_path, rng):
+    from multi_style_transfer_gan_tpu.native import save_canvas_batch
+
+    styled = rng.integers(0, 256, (1, 128, 128, 3)).astype(np.uint8)
+    ok = save_canvas_batch(styled, [(128, 128)], [str(tmp_path / "x.bmp")])
+    assert ok is not None and not ok.any()  # caller must PIL-fallback
+
+
+def test_scaled_jpeg_decode_close_to_full(tmp_path, rng):
+    """DCT-scaled decode (PIL draft strategy) must stay visually equivalent
+    to the full-decode + Lanczos reference for large downscales."""
+    img = np.clip(
+        np.linspace(0, 255, 512)[None, :, None]
+        + np.linspace(0, 80, 640)[:, None, None]
+        + rng.normal(0, 10, (640, 512, 3)), 0, 255).astype(np.uint8)
+    p = tmp_path / "big.jpg"
+    Image.fromarray(img).save(p, quality=92)
+
+    batch, sizes, ok = decode_canvas_batch([str(p)], 256, 255)
+    assert ok.all() and sizes == [(512, 640)]
+
+    from multi_style_transfer_gan_tpu.pipelines.batch import _decode_canvas
+
+    ref, _ = _decode_canvas(str(p), 256, 255)
+    diff = np.abs(batch[0].astype(int) - ref.astype(int))
+    # 8x8-block DCT prescale + Lanczos vs pure Lanczos: small but nonzero
+    assert diff.mean() < 2.0 and np.quantile(diff, 0.99) <= 12, (
+        diff.mean(), np.quantile(diff, 0.99))

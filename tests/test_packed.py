@@ -123,6 +123,7 @@ def test_packed_gap(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_full_forward_parity(rng):
     """Packed forward == reference forward on the full EnhancedGenerator."""
     from multi_style_transfer_gan_tpu.models import (
@@ -143,6 +144,7 @@ def test_packed_full_forward_parity(rng):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_packed_full_forward_fast_attention(rng, monkeypatch):
     """Packed forward with fast_attention=True (Pallas kernels, interpret
     mode) == the einsum packed forward, exercising all kernel dispatches:

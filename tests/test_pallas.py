@@ -278,6 +278,7 @@ def test_window_attention_v4_matches_reference(rng, C, shape):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
     """fast="train" (fused kernels fwd + XLA custom_vjp bwd) produces the
     XLA path's gradients at the unit level (sum-loss: the cotangent is

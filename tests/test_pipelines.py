@@ -133,6 +133,7 @@ def test_improved_image_compare_cli(image_dir, tmp_path, capsys):
     assert "overall: noise wins 9/9" in out
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from multi_style_transfer_gan_tpu.train import (
         pretrain_init_state, pretrain_train_step,

@@ -82,6 +82,7 @@ def test_compare_pipeline(models, photo, tmp_path):
         assert os.path.exists(out[k]), k
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as g
 

@@ -44,6 +44,7 @@ def test_mask_law():
     assert 0.3 < drop_rate < 0.5  # p=0.4 law
 
 
+@pytest.mark.slow
 def test_cyclegan_step_runs_and_updates(rng):
     state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4)
     g_tx, d_tx = make_optimizers()
@@ -65,6 +66,7 @@ def test_cyclegan_step_runs_and_updates(rng):
     assert float(jnp.max(jnp.abs(u0 - u1))) > 0
 
 
+@pytest.mark.slow
 def test_cyclegan_step_data_parallel_8dev(rng):
     """Full train step on an 8-device mesh with the batch sharded over
     'data' — validates the multi-chip path without TPU hardware."""
@@ -100,6 +102,7 @@ def test_save_models_torch_loadable(rng, tmp_path):
     assert "main.0.weight_u" in dk["D_A_state_dict"]
 
 
+@pytest.mark.slow
 def test_remat_gradients_match():
     """jax.checkpoint (gradient checkpointing parity with the reference's
     gradient_checkpointing_enable) must not change values or gradients."""
@@ -128,6 +131,7 @@ def test_remat_gradients_match():
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_bf16_train_step_runs():
     """Mixed-precision (bf16 compute) CycleGAN step — the torch-AMP
     replacement — must differentiate through all convs (regression: conv
@@ -151,6 +155,7 @@ def test_bf16_train_step_runs():
     assert all(np.isfinite(float(v)) for v in losses.values())
 
 
+@pytest.mark.slow
 def test_pretrain_checkpoint_torch_loadable(tmp_path):
     """The exported .pth must satisfy the reference's resume path
     (pretrain_resume.py:134-157): strict model load + torch Adam
@@ -271,6 +276,7 @@ def test_save_models_always_exports_weight_v(tmp_path):
         assert us and us == vs
 
 
+@pytest.mark.slow
 def test_extra_g_loss_hook_runs():
     """The documented perceptual hook wires into the train step and
     contributes gradients (total loss grows, step still finite)."""
