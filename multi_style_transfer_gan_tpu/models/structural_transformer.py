@@ -262,6 +262,29 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
                g("mlp.fc1.weight"), g("mlp.fc1.bias"),
                g("mlp.fc2.weight"), g("mlp.fc2.bias"))
 
+    from ..sharding_spec import ShardedFastAttention
+
+    if isinstance(fast, ShardedFastAttention):
+        # Height-sharded fused body via shard_map (see sharding_spec):
+        # window MHSA and the per-token norms/MLP are height-local, so the
+        # per-shard kernel reproduces the global math with zero collectives.
+        sp = fast.mesh.shape[fast.axis]
+        if (H % sp == 0 and (H // sp) % window == 0 and W % window == 0):
+            from jax.sharding import PartitionSpec as P
+
+            sh = P(None, fast.axis)
+            out = jax.shard_map(
+                lambda t, s, gm, bt, *w: _fused_block(t, s, gm, bt, *w,
+                                                      window=window),
+                mesh=fast.mesh,
+                in_specs=(sh, sh) + (P(),) * (2 + len(weights)),
+                out_specs=sh,
+                check_vma=False,  # pallas_call can't declare per-axis vma
+            )(tokens.reshape(B, H, W, C), struct_tokens.reshape(B, H, W, C),
+              gamma, beta, *weights)
+            return out.reshape(B, N, C)
+        fast = False  # shard too short for the window: XLA formulation
+
     if fast and H % window == 0 and W % window == 0:
         grid_args = (tokens.reshape(B, H, W, C),
                      struct_tokens.reshape(B, H, W, C), gamma, beta)

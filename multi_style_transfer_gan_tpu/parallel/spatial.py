@@ -20,9 +20,11 @@ collectives from the sharding annotation; we never hand-write them.
 
 Constraints: H must be divisible by ``16 * n_shards`` (16 = the models'
 own stride budget) so every stage's height shards evenly and the window
-reshapes stay static. The spatial path uses the XLA attention formulation
-(the Pallas fast-attention kernels are per-shard programs; running them
-under GSPMD would need a shard_map port — future work).
+reshapes stay static. ``fast_attention=True`` keeps the Pallas window
+kernels on the sharded path: they are per-shard programs, so they run
+under ``jax.shard_map`` (one kernel launch per height shard, replicated
+weights, zero collectives — the windows are height-local) while the rest
+of the model stays GSPMD-partitioned from the same sharding annotation.
 
 Validated on the 8-virtual-device CPU mesh against the unsharded forward
 (tests/test_spatial.py); on hardware the same program runs over ICI.
@@ -51,19 +53,32 @@ def spatial_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def spatial_apply(model, mesh: Mesh | None = None,
-                  n_devices: int | None = None):
+                  n_devices: int | None = None,
+                  fast_attention: bool = False):
     """Height-sharded version of ``LoadedModel.apply``.
 
     Returns ``apply(x)`` taking (B, H, W, 3) in [-1, 1] with H divisible by
     16 * mesh size; the batch stays whole (use ``parallel.mesh`` when you
     have batch to shard — spatial sharding is for when ONE image's
     activations don't fit).
-    """
-    from ..models import plain_generator_apply, enhanced_generator_apply
 
+    fast_attention=True (enhanced models) keeps the Pallas fast path under
+    the height shard: the window kernels run per-shard via ``shard_map``
+    (sharding_spec.ShardedFastAttention) while everything else stays GSPMD.
+    """
+    from functools import partial as _partial
+
+    from ..models import plain_generator_apply, enhanced_generator_apply
+    from ..sharding_spec import ShardedFastAttention
+
+    mesh = mesh if mesh is not None else spatial_mesh(n_devices)
     fwd = {"plain": plain_generator_apply,
            "enhanced": enhanced_generator_apply}[model.kind]
-    mesh = mesh if mesh is not None else spatial_mesh(n_devices)
+    if fast_attention:
+        if model.kind != "enhanced":
+            raise ValueError("fast_attention applies to enhanced models only")
+        fwd = _partial(enhanced_generator_apply,
+                       fast_attention=ShardedFastAttention(mesh, "sp"))
     sp = mesh.shape["sp"]
     x_sharding = NamedSharding(mesh, P(None, "sp", None, None))
     rep = NamedSharding(mesh, P())

@@ -1,5 +1,7 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -288,6 +290,8 @@ def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
     chaotically through the instance-norm stages (see PERFORMANCE.md)."""
     import multi_style_transfer_gan_tpu.ops.pallas.fused_transformer as ft
     import multi_style_transfer_gan_tpu.ops.pallas.window_attention as wa
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
+        as wat
     import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
     from multi_style_transfer_gan_tpu.models.enhanced_generator import (
         local_attention_init,
@@ -302,7 +306,7 @@ def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
         kw["interpret"] = True
         return orig(*a, **kw)
 
-    for mod in (wa, wa3, ft):
+    for mod in (wa, wa3, ft, wat):
         monkeypatch.setattr(mod.pl, "pallas_call", interp)
 
     # windowed channel attention (covers both kernel dispatches)
@@ -336,3 +340,154 @@ def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# hand-written backward kernels (window_attention_train)
+# ---------------------------------------------------------------------------
+
+def _attn_params(rng, C):
+    return {
+        "qkv.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, 3 * C)).astype(np.float32) * 0.1),
+        "qkv.bias": jnp.asarray(
+            rng.standard_normal((3 * C,)).astype(np.float32)),
+        "proj.weight": jnp.asarray(
+            rng.standard_normal((1, 1, C, C)).astype(np.float32) * 0.1),
+        "proj.bias": jnp.asarray(
+            rng.standard_normal((C,)).astype(np.float32)),
+    }
+
+
+# (2,32,32,16): nw=8 % g=8 == 0 fast relayout; (1,16,48,32): nw=12 % g=4;
+# (2,16,12,16): nw=3 % g=8 != 0 exercises the general relayout branch.
+@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 16, 48, 32),
+                                   (2, 16, 12, 16), (1, 16, 16, 64)])
+def test_train_kernel_forward_and_grads_match_xla(rng, shape):
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
+        import supports_train_kernel, window_channel_attention_train
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        _attention_math,
+    )
+
+    B, H, W, C = shape
+    assert supports_train_kernel(B, H, W, C)
+    p = _attn_params(rng, C)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    args = (x, p["qkv.weight"], p["qkv.bias"], p["proj.weight"],
+            p["proj.bias"])
+
+    ref = _attention_math(*args, window_size=4, eps=1e-12)
+    got = window_channel_attention_train(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradient parity vs the XLA formulation, all five inputs; a quadratic
+    # loss so the cotangent depends on the primal too
+    loss_k = lambda *a: jnp.sum(
+        window_channel_attention_train(*a, interpret=True) ** 2)
+    loss_x = lambda *a: jnp.sum(
+        _attention_math(*a, window_size=4, eps=1e-12) ** 2)
+    gk = jax.grad(loss_k, argnums=tuple(range(5)))(*args)
+    gx = jax.grad(loss_x, argnums=tuple(range(5)))(*args)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_train_kernel_zero_window_grads_finite(rng):
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
+        import window_channel_attention_train
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        _attention_math,
+    )
+
+    C = 16
+    x = np.asarray(rng.standard_normal((1, 8, 32, C)), np.float32)
+    x[0, :4, :4] = 0.0
+    p = _attn_params(rng, C)
+    p["qkv.bias"] = jnp.zeros((3 * C,), jnp.float32)  # keep q/k exactly 0
+    args = (jnp.asarray(x), p["qkv.weight"], p["qkv.bias"],
+            p["proj.weight"], p["proj.bias"])
+
+    loss_k = lambda *a: jnp.sum(
+        window_channel_attention_train(*a, interpret=True) ** 2)
+    loss_x = lambda *a: jnp.sum(
+        _attention_math(*a, window_size=4, eps=1e-12) ** 2)
+    gk = jax.grad(loss_k, argnums=tuple(range(5)))(*args)
+    gx = jax.grad(loss_x, argnums=tuple(range(5)))(*args)
+    for a, b in zip(gk, gx):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_train_kernel_support_predicate():
+    from multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
+        import supports_train_kernel
+
+    assert supports_train_kernel(8, 128, 128, 16)     # flagship train shape
+    assert not supports_train_kernel(1, 16, 16, 48)   # 128 % 48 != 0
+    assert not supports_train_kernel(1, 16, 16, 128)  # C > 64
+    assert not supports_train_kernel(1, 18, 16, 16)   # H % ws != 0
+    assert not supports_train_kernel(1, 4, 4, 64)     # R=1 not divisible by g
+
+
+# ---------------------------------------------------------------------------
+# measured dispatch (attention_dispatch)
+# ---------------------------------------------------------------------------
+
+def test_dispatch_static_defaults_match_round1_table():
+    from multi_style_transfer_gan_tpu.ops.pallas.attention_dispatch import (
+        valid_impls,
+    )
+
+    # grouped wherever the group geometry holds (C<=32, 128%C==0)
+    assert valid_impls(128, 256, 256, 32, 4)[0] == "grouped"
+    assert valid_impls(128, 512, 512, 16, 4)[0] == "grouped"
+    # C<=16 without group divisibility -> v3
+    assert valid_impls(1, 12, 12, 16, 4)[0] == "v3"
+    # C=32 without group divisibility at a big grid -> XLA einsum
+    assert valid_impls(1, 260, 260, 32, 4)[0] == "einsum"
+    # C=64 -> per-window v1 kernel
+    assert valid_impls(128, 128, 128, 64, 4)[0] == "v1"
+    # every list ends with a universal fallback and has no duplicates
+    for shape in [(128, 256, 256, 32), (1, 12, 12, 16), (2, 64, 64, 64)]:
+        names = valid_impls(*shape, 4)
+        assert "einsum" in names and len(names) == len(set(names))
+
+
+def test_dispatch_probe_caches_winner(rng, monkeypatch, tmp_path):
+    import multi_style_transfer_gan_tpu.ops.pallas.attention_dispatch as ad
+    import multi_style_transfer_gan_tpu.ops.pallas.fused_transformer as ft
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention as wa
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
+        as wag
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+
+    for mod in (wa, wa3, wag, ft):
+        orig = mod.pl.pallas_call
+
+        def interp(*a, _orig=orig, **kw):
+            kw["interpret"] = True
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(mod.pl, "pallas_call", interp)
+
+    cache = tmp_path / "dispatch.json"
+    monkeypatch.setenv("MSTGAN_DISPATCH_CACHE", str(cache))
+    monkeypatch.setattr(ad, "_mem", None)  # drop any loaded table
+
+    B, H, W, C = 2, 16, 16, 16
+    winner = ad.probe(B, H, W, C, 4, jnp.float32, rounds=1, iters=1)
+    assert winner in ad.valid_impls(B, H, W, C, 4)
+    saved = json.loads(cache.read_text())
+    [(key, entry)] = saved.items()
+    assert entry["impl"] == winner and key.endswith("2x16x16x16:ws4:float32")
+    # pick() must return the measured winner, not the static default
+    assert ad.pick(B, H, W, C, 4, jnp.float32) == winner
+    # ...including in a fresh process (cache reloaded from disk)
+    monkeypatch.setattr(ad, "_mem", None)
+    assert ad.pick(B, H, W, C, 4, jnp.float32) == winner
+    # unknown shapes still fall back to the static table instantly
+    assert ad.pick(4, 32, 32, 32, 4, jnp.float32) == "grouped"
