@@ -209,6 +209,24 @@ def _thumb(path, max_side=380):
         return None
 
 
+def model_info_text(manager) -> str:
+    """The debug_check_model info panel (gan_login_gui.py:280-298): per
+    model — load state, family, channel width, parameter count and
+    top-level children. Pure text so it is testable headless."""
+    lines = []
+    for attr in ("enhanced_ab", "enhanced_ba", "cyclegan_ab", "cyclegan_ba"):
+        m = getattr(manager, attr)
+        if m is None:
+            lines.append(f"{attr}: NOT loaded")
+            continue
+        n_params = sum(int(np.prod(np.shape(v))) for v in m.params.values())
+        children = sorted({k.split(".")[0] for k in m.params})
+        lines.append(f"{attr}: kind={m.kind}  channels={m.channels}  "
+                     f"params={n_params:,}  tensors={len(m.params)}")
+        lines.append(f"    children: {', '.join(children)}")
+    return "\n".join(lines)
+
+
 def main():
     import tkinter as tk
     from tkinter import filedialog, messagebox, ttk
@@ -269,28 +287,95 @@ def main():
             w.pack_forget()
         nb = ttk.Notebook(root)
         nb.pack(fill="both", expand=True)
-        threading.Thread(target=manager.load, daemon=True).start()
+
+        # app-wide model status bar + async load (the reference logs load
+        # progress to the console; we surface it in-window)
+        load_status = ttk.Label(root, text="loading models…",
+                                anchor="w", padding=(8, 2))
+        load_status.pack(fill="x", side="bottom")
+        load_log = []
+
+        def on_load_msg(msg):
+            load_log.append(msg)
+            root.after(0, lambda: load_status.config(text=msg))
+
+        def load_models():
+            manager.load(log=on_load_msg)
+            n = sum(getattr(manager, a) is not None for a in
+                    ("enhanced_ab", "enhanced_ba", "cyclegan_ab",
+                     "cyclegan_ba"))
+            on_load_msg(f"models ready: {n}/4 loaded")
+
+        threading.Thread(target=load_models, daemon=True).start()
+
+        def show_model_info():
+            """debug_check_model parity: per-model info in a window."""
+            top = tk.Toplevel(root)
+            top.title("model info")
+            txt = tk.Text(top, width=90, height=16, wrap="none")
+            txt.insert("1.0", model_info_text(manager) + "\n\nload log:\n"
+                       + "\n".join(load_log))
+            txt.config(state="disabled")
+            txt.pack(fill="both", expand=True)
+
+        class ScrollPanels:
+            """Scrollable row of captioned images — the reference's
+            side-by-side result canvases (setup_compare_tab,
+            gan_login_gui.py:1985-2218): results render in-window inside
+            a canvas with scrollbars rather than only as saved files."""
+
+            def __init__(self, parent, row, height=430):
+                self.canvas = tk.Canvas(parent, height=height,
+                                        highlightthickness=0)
+                hbar = ttk.Scrollbar(parent, orient="horizontal",
+                                     command=self.canvas.xview)
+                vbar = ttk.Scrollbar(parent, orient="vertical",
+                                     command=self.canvas.yview)
+                self.canvas.configure(xscrollcommand=hbar.set,
+                                      yscrollcommand=vbar.set)
+                self.canvas.grid(row=row, column=0, columnspan=4,
+                                 sticky="nsew", pady=8)
+                hbar.grid(row=row + 1, column=0, columnspan=4, sticky="ew")
+                vbar.grid(row=row, column=4, sticky="ns")
+                parent.grid_rowconfigure(row, weight=1)
+                for c in range(4):
+                    parent.grid_columnconfigure(c, weight=1)
+                self.inner = ttk.Frame(self.canvas)
+                self.canvas.create_window((0, 0), window=self.inner,
+                                          anchor="nw")
+                self.inner.bind("<Configure>", lambda e: self.canvas.config(
+                    scrollregion=self.canvas.bbox("all")))
+
+            def show(self, items):
+                """items: [(caption, path)] rendered left-to-right."""
+                for w in self.inner.winfo_children():
+                    w.destroy()
+                for col, (caption, path) in enumerate(items):
+                    ttk.Label(self.inner, text=caption).grid(
+                        row=0, column=col, padx=6)
+                    ph = _thumb(path)
+                    if ph is not None:
+                        lbl = ttk.Label(self.inner, image=ph)
+                        lbl.image = ph  # keep a ref or Tk drops it
+                        lbl.grid(row=1, column=col, padx=6, pady=4)
+                    else:
+                        ttk.Label(self.inner, text=path).grid(
+                            row=1, column=col, padx=6)
 
         def make_tab(title, runner, controls):
+            """runner(path, cfg) returns an output path, or a list of
+            (caption, path) panels to display (compare tab)."""
             frame = ttk.Frame(nb, padding=10)
             nb.add(frame, text=title)
             sel = {"path": None}
             img_label = ttk.Label(frame, text="no image selected")
             img_label.grid(row=0, column=0, columnspan=4, pady=4)
-            # side-by-side input/result previews (the reference displays
-            # both in in-window canvases)
-            in_panel = ttk.Label(frame, text="")
-            in_panel.grid(row=5, column=0, columnspan=2, pady=8)
-            out_panel = ttk.Label(frame, text="")
-            out_panel.grid(row=5, column=2, columnspan=2, pady=8)
+            panels = ScrollPanels(frame, row=5)
             prog = ttk.Progressbar(frame, mode="indeterminate", length=300)
             prog.grid(row=99, column=0, columnspan=4, pady=8)
-
-            def show_panel(panel, path):
-                ph = _thumb(path)
-                if ph is not None:
-                    panel.configure(image=ph)
-                    panel.image = ph  # keep a ref or Tk drops it
+            # per-tab status line (the reference keeps one per tab)
+            tab_status = ttk.Label(frame, text="ready", anchor="w")
+            tab_status.grid(row=100, column=0, columnspan=4, sticky="ew")
 
             def choose():
                 p = filedialog.askopenfilename(filetypes=[
@@ -298,7 +383,8 @@ def main():
                 if p:
                     sel["path"] = p
                     img_label.config(text=os.path.basename(p))
-                    show_panel(in_panel, p)
+                    panels.show([("original", p)])
+                    tab_status.config(text=f"selected {p}")
 
             def run():
                 if state["busy"]:
@@ -309,6 +395,7 @@ def main():
                     return
                 state["busy"] = True
                 prog.start(10)
+                tab_status.config(text="processing…")
                 # snapshot Tk variables on the MAIN thread — Variable.get()
                 # talks to the Tcl interpreter and is not thread-safe
                 cfg = {k: v.get() for k, v in controls.items()}
@@ -318,13 +405,22 @@ def main():
                         out = runner(sel["path"], cfg)
 
                         def done(out=out):
-                            show_panel(out_panel, out)
-                            messagebox.showinfo("done", f"saved: {out}")
+                            if isinstance(out, list):
+                                items, saved = out, out[-1][1]
+                            else:
+                                items = [("original", sel["path"]),
+                                         ("result", out)]
+                                saved = out
+                            panels.show(items)
+                            tab_status.config(text=f"saved: {saved}")
 
                         root.after(0, done)
                     except Exception as e:
-                        root.after(0, lambda e=e: messagebox.showerror(
-                            "error", str(e)))
+                        def fail(e=e):
+                            tab_status.config(text=f"error: {e}")
+                            messagebox.showerror("error", str(e))
+
+                        root.after(0, fail)
                     finally:
                         state["busy"] = False
                         root.after(0, prog.stop)
@@ -335,6 +431,8 @@ def main():
                 row=1, column=0, pady=4)
             ttk.Button(frame, text="generate", command=run).grid(
                 row=1, column=1)
+            ttk.Button(frame, text="model info",
+                       command=show_model_info).grid(row=1, column=2)
             return frame
 
         # standard tab
@@ -421,13 +519,17 @@ def main():
                      values=["photo2monet", "monet2photo"]).grid(row=2,
                                                                  column=0)
 
-        # compare tab
+        # compare tab — original + both results side by side in the
+        # scrollable canvas (reference compare_process_thread :2423-2638)
         def run_cmp(p, c):
             from ..pipelines.compare import compare_models
             enh = manager.pick("enhanced", c["direction"])
             cyc = manager.pick("cyclegan", c["direction"])
             out = compare_models(enh, cyc, p, OUTPUT_DIR)
-            return out["figure"]
+            return [("original", p),
+                    ("enhanced local-style", out["enhanced"]),
+                    ("cyclegan", out["cyclegan"]),
+                    ("side-by-side figure", out["figure"])]
 
         cmp_controls = {}
         cmp_frame = make_tab("compare", run_cmp, cmp_controls)

@@ -117,3 +117,31 @@ def test_process_local_toggles(img_path, tmp_path):
         outs[name] = np.asarray(Image.open(p), np.float32)
     assert np.abs(outs["all_on"] - outs["no_smooth"]).mean() > 0.1
     assert np.abs(outs["no_smooth"] - outs["no_colors"]).mean() > 0.1
+
+
+def test_model_info_text_headless():
+    """debug_check_model parity panel (gan_login_gui.py:280-298):
+    per-model load state, family, width, parameter/tensor counts."""
+    import jax
+
+    from multi_style_transfer_gan_tpu.gui.app import (
+        ModelManager, model_info_text,
+    )
+    from multi_style_transfer_gan_tpu.models import enhanced_generator_init
+    from multi_style_transfer_gan_tpu.pipelines.model_loader import (
+        LoadedModel,
+    )
+
+    mgr = ModelManager()
+    params = enhanced_generator_init(jax.random.PRNGKey(0), channels=4,
+                                     num_transformer_blocks=1)
+    mgr.enhanced_ab = LoadedModel(kind="enhanced", channels=4,
+                                  direction="AB", params=params,
+                                  apply=lambda x: x)
+    text = model_info_text(mgr)
+    assert "enhanced_ab: kind=enhanced  channels=4" in text
+    assert "children: " in text and "initial" in text and "down1" in text
+    n_params = sum(int(np.prod(np.shape(v))) for v in params.values())
+    assert f"params={n_params:,}" in text
+    for missing in ("enhanced_ba", "cyclegan_ab", "cyclegan_ba"):
+        assert f"{missing}: NOT loaded" in text
