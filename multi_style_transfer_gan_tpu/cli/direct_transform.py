@@ -15,6 +15,9 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--precision", choices=["default", "high", "highest"],
                    default="default")
+    p.add_argument("--fast_attention", action="store_true",
+                   help="Pallas window kernels (with --spatial they run "
+                        "per height shard via shard_map)")
     p.add_argument("--spatial", type=int, default=0,
                    help="shard the image height over N devices (for sizes "
                         "whose activations outgrow one chip; size must be "
@@ -35,13 +38,15 @@ def main(argv=None):
     out_dir = os.path.dirname(os.path.abspath(args.output)) or "."
     if args.test_sizes:
         print(test_different_sizes(model, args.image, out_dir,
-                                   spatial=args.spatial))
+                                   spatial=args.spatial,
+                                   fast_attention=args.fast_attention))
     elif args.test_skip:
         print(try_skip_connections(model, args.image, out_dir,
                                    spatial=args.spatial))
     else:
         transform_image(model, args.image, args.output, size=args.size,
-                        spatial=args.spatial)
+                        spatial=args.spatial,
+                        fast_attention=args.fast_attention)
         print(f"saved: {args.output}")
 
 

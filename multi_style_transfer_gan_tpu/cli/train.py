@@ -30,9 +30,16 @@ def main(argv=None):
                         "on the chip (320 vs 425 ms/step)")
     p.add_argument("--fp32", action="store_true",
                    help="full fp32 compute (overrides the bf16 default)")
-    p.add_argument("--fast_attention", action="store_true",
-                   help="fused Pallas kernels for generator forwards "
-                        "(XLA-formulation backward via custom_vjp)")
+    p.add_argument("--fast_attention", action="store_true", default=True,
+                   help="Pallas attention kernels with hand-written "
+                        "backwards + paired 2x-batch G/D calls — the "
+                        "default: best measured step time on the v5e chip "
+                        "(314 vs 325 ms/step pure-XLA at the reference "
+                        "config; losses bit-match the XLA path, see "
+                        "tests/test_train.py)")
+    p.add_argument("--no_fast_attention", action="store_true",
+                   help="pure-XLA generator forwards/backwards "
+                        "(overrides the fast-attention default)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize generator stages in backward "
                         "(the reference's gradient-checkpointing mode, "
@@ -105,11 +112,15 @@ def main(argv=None):
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    # fast default applies on TPU only — the Pallas kernels don't lower on
+    # the CPU backend (interpret mode is a test-only shim)
+    fast = (args.fast_attention and not args.no_fast_attention
+            and jax.default_backend() != "cpu")
     # donate the state: XLA updates params/opt/sn buffers in place instead
     # of allocating a second copy of every train-state array each step
     step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
         s, a, b, g_tx, d_tx, compute_dtype=dtype, remat=args.remat,
-        fast_attention=args.fast_attention), donate_argnums=0)
+        fast_attention=fast), donate_argnums=0)
 
     try:
         for epoch in range(start_epoch, args.num_epochs):

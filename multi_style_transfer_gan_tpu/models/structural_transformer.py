@@ -180,43 +180,29 @@ def _fused_block(tokens_g, struct_g, gamma, beta, *w, window):
         fc1_w=f1w, fc1_b=f1b, fc2_w=f2w, fc2_b=f2b, window=window)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(16,))
-def _fused_block_vjp(tokens_g, struct_g, gamma, beta,
-                     n1w, n1b, qkvw, qkvb, projw, projb,
-                     n2w, n2b, f1w, f1b, f2w, f2b, window):
-    """Fused Pallas block forward + XLA-body backward (training fast path).
+def _train_block_body(tokens, struct_tokens, gamma, beta,
+                      n1w, n1b, qkvw, qkvb, projw, projb,
+                      n2w, n2b, f1w, f1b, f2w, f2b, *, grid_hw, window):
+    """Training fast path: the XLA block body with the windowed-MHSA mid
+    replaced by the hand-written-backward Pallas kernel pair
+    (ops/pallas/window_mhsa_train.py). Same math as _block_body_math; the
+    big dense matmuls and LayerNorms differentiate through XLA autodiff
+    (no forward recompute — round-1 weakness #2), while the window
+    partition transposes and per-window softmax live in the kernels in
+    BOTH directions."""
+    from ..ops.pallas.window_mhsa_train import window_mhsa_train
 
-    The backward recomputes the XLA formulation's vjp from saved inputs —
-    the fused kernel has no hand-written gradient; the fwd/bwd mismatch is
-    the kernel's documented sub-bf16-noise divergence."""
-    return _fused_block(tokens_g, struct_g, gamma, beta,
-                        n1w, n1b, qkvw, qkvb, projw, projb,
-                        n2w, n2b, f1w, f1b, f2w, f2b, window=window)
+    B, N, C = tokens.shape
+    H, W = grid_hw
+    heads = default_num_heads(C)
 
-
-def _fused_block_vjp_fwd(tokens_g, struct_g, gamma, beta,
-                         n1w, n1b, qkvw, qkvb, projw, projb,
-                         n2w, n2b, f1w, f1b, f2w, f2b, window):
-    args = (tokens_g, struct_g, gamma, beta, n1w, n1b, qkvw, qkvb,
-            projw, projb, n2w, n2b, f1w, f1b, f2w, f2b)
-    return _fused_block(*args, window=window), args
-
-
-def _fused_block_vjp_bwd(window, res, g):
-    tokens_g = res[0]
-    B, H, W, C = tokens_g.shape
-
-    def body(tokens_g, struct_g, gamma, beta, *w):
-        out = _block_body_math(tokens_g.reshape(B, H * W, C),
-                               struct_g.reshape(B, H * W, C),
-                               gamma, beta, *w, grid_hw=(H, W), window=window)
-        return out.reshape(B, H, W, C)
-
-    _, vjp = jax.vjp(body, *res)
-    return vjp(g)
-
-
-_fused_block_vjp.defvjp(_fused_block_vjp_fwd, _fused_block_vjp_bwd)
+    h = _layer_norm(tokens + struct_tokens, n1w, n1b)
+    h = h * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+    qkv = linear(h, qkvw, qkvb).reshape(B, H, W, 3 * C)
+    mid = window_mhsa_train(qkv, window, heads).reshape(B, N, C)
+    tokens = tokens + linear(mid.astype(tokens.dtype), projw, projb)
+    h = _layer_norm(tokens, n2w, n2b)
+    return tokens + linear(gelu(linear(h, f1w, f1b)), f2w, f2b)
 
 
 def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
@@ -230,9 +216,11 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
       style: (B, dim) style vector.
       orig_image: (B, H0, W0, 3) network input in [-1, 1] (NHWC).
       grid_hw: static (H, W) of the token grid.
-      fast: use the fused Pallas block body (ops/pallas/fused_transformer.py)
-        when the grid divides the window — True for inference, "train" for
-        fused-forward + XLA-backward via custom_vjp; the structure/style
+      fast: True = the fused Pallas block body for inference
+        (ops/pallas/fused_transformer.py); "train" = the XLA body with the
+        windowed-MHSA mid running as a Pallas kernel pair with a
+        hand-written backward (ops/pallas/window_mhsa_train.py). Both
+        require the grid to divide the window; the structure/style
         conditioning stays in XLA either way.
     """
     g = lambda name: params[f"{prefix}{name}"]
@@ -286,12 +274,12 @@ def structural_transformer_apply(params, tokens, style, orig_image, grid_hw,
         fast = False  # shard too short for the window: XLA formulation
 
     if fast and H % window == 0 and W % window == 0:
-        grid_args = (tokens.reshape(B, H, W, C),
-                     struct_tokens.reshape(B, H, W, C), gamma, beta)
         if fast == "train":
-            out = _fused_block_vjp(*grid_args, *weights, window)
-        else:
-            out = _fused_block(*grid_args, *weights, window=window)
+            return _train_block_body(tokens, struct_tokens, gamma, beta,
+                                     *weights, grid_hw=grid_hw, window=window)
+        out = _fused_block(tokens.reshape(B, H, W, C),
+                           struct_tokens.reshape(B, H, W, C), gamma, beta,
+                           *weights, window=window)
         return out.reshape(B, N, C)
 
     return _block_body_math(tokens, struct_tokens, gamma, beta, *weights,

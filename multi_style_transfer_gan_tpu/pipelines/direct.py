@@ -34,7 +34,8 @@ def _save_rgb(arr01, path):
 
 
 def transform_image(model: LoadedModel, image_path, output_path=None,
-                    size: int = 256, spatial: int = 0):
+                    size: int = 256, spatial: int = 0,
+                    fast_attention: bool = False):
     """Resize to (size, size), run the generator, return/save [0,1] output.
 
     Mirrors direct_transform.transform_image:44-79. Returns the HWC float
@@ -47,9 +48,19 @@ def transform_image(model: LoadedModel, image_path, output_path=None,
     x = resize(jnp.asarray(img, jnp.float32) / 255.0, (size, size))
     x = to_model_range(x)[None]
     apply = model.apply
+    fast = fast_attention and model.kind == "enhanced"
     if spatial and spatial > 1:
         from ..parallel import spatial_apply
-        apply = spatial_apply(model, n_devices=spatial)
+        # fast keeps the Pallas window kernels per height shard
+        # (shard_map; sharding_spec.ShardedFastAttention)
+        apply = spatial_apply(model, n_devices=spatial, fast_attention=fast)
+    elif fast:
+        import jax
+
+        from ..models import enhanced_generator_apply
+
+        apply = jax.jit(lambda t: enhanced_generator_apply(
+            model.params, t, fast_attention=True))
     y = from_model_range(apply(x))[0]
     if output_path:
         _save_rgb(y, output_path)
@@ -57,7 +68,8 @@ def transform_image(model: LoadedModel, image_path, output_path=None,
 
 
 def test_different_sizes(model: LoadedModel, image_path, output_dir,
-                         sizes=(128, 256, 512, 768), spatial: int = 0):
+                         sizes=(128, 256, 512, 768), spatial: int = 0,
+                         fast_attention: bool = False):
     """Size sweep + comparison grid (direct_transform.py:81-118)."""
     import matplotlib
     matplotlib.use("Agg")
@@ -68,7 +80,8 @@ def test_different_sizes(model: LoadedModel, image_path, output_dir,
     for s in sizes:
         out_path = os.path.join(output_dir, f"size_{s}.png")
         outs[s] = transform_image(model, image_path, out_path, size=s,
-                                  spatial=spatial)
+                                  spatial=spatial,
+                                  fast_attention=fast_attention)
 
     fig, axes = plt.subplots(1, len(sizes) + 1,
                              figsize=(4 * (len(sizes) + 1), 4))
@@ -101,7 +114,11 @@ def try_skip_connections(model: LoadedModel, image_path, output_dir,
     apply = model.apply
     if spatial and spatial > 1:
         from ..parallel import spatial_apply
-        apply = spatial_apply(model, n_devices=spatial)
+        # fast_attention keeps the Pallas window kernels per height shard
+        # (shard_map; sharding_spec.ShardedFastAttention)
+        apply = spatial_apply(model, n_devices=spatial,
+                              fast_attention=(fast_attention
+                                              and model.kind == "enhanced"))
     y01 = from_model_range(apply(to_model_range(x01)[None]))[0]
 
     fig, axes = plt.subplots(1, len(blends) + 2,

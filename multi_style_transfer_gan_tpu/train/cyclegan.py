@@ -97,7 +97,7 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
 def cyclegan_train_step(state: CycleGANState, real_A, real_B,
                         g_tx, d_tx, *, compute_dtype=jnp.float32,
                         remat=True, fast_attention=False,
-                        extra_g_loss=None):
+                        pair_batching=None, extra_g_loss=None):
     """One full CycleGAN step. real_A/real_B: (B, H, W, 3) in [-1, 1].
 
     Returns (new_state, losses_dict) — losses match the reference's returned
@@ -114,15 +114,49 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
     kernels with the XLA-formulation backward (custom_vjp; see
     enhanced_generator_apply) — opt-in, since the fwd/bwd pairing differs
     from pure XLA by the kernels' sub-bf16-noise divergence.
+    pair_batching: run the (fake, identity) generator pair and the
+    (real, fake) discriminator pair as single 2x-batch calls — bit-identical
+    math (every op in both models is per-sample and the spectral-norm sigma
+    depends only on weights; pinned by tests) but NOT always faster: on the
+    v5e chip at the reference config it measured 1.13x with the Pallas
+    training kernels (314 vs 355 ms/step) and 0.91x on the pure-XLA path
+    (355 vs 325 — the 2x einsum attention loses more to scheduling than the
+    launch merge buys). Default (None) follows fast_attention.
     extra_g_loss: optional callable (the train/perceptual.py hook)
     ``f(fake_A, fake_B, real_A, real_B) -> scalar`` added to the G loss
     (differentiated through the generators) — NOT part of the reference's
     loss set.
     """
+    if pair_batching is None:
+        pair_batching = bool(fast_attention)
     gen = partial(enhanced_generator_apply, remat=remat,
                   fast_attention="train" if fast_attention else False)
     xa = real_A.astype(compute_dtype)
     xb = real_B.astype(compute_dtype)
+
+    def paired(apply_fn, first, second):
+        """apply_fn on two same-shape batches — one 2x call when batching."""
+        if pair_batching:
+            out = apply_fn(jnp.concatenate([first, second]))
+            return jnp.split(out, 2)
+        return apply_fn(first), apply_fn(second)
+
+    def d_pair(d_params_dir, sn, real, fake, update_sn):
+        """(real, fake) through one discriminator; returns scores/maps per
+        half and the new sn state. The real pass already normalizes with the
+        post-iteration u/v, so both halves see the same effective W and the
+        batched call is bit-identical to two sequential ones."""
+        if pair_batching:
+            o, m, sn2 = discriminator_apply(
+                d_params_dir, sn, jnp.concatenate([real, fake]),
+                update_sn=update_sn)
+            (r, f), (rm, fm) = jnp.split(o, 2), jnp.split(m, 2)
+            return r, f, rm, fm, sn2
+        r, rm, sn2 = discriminator_apply(d_params_dir, sn, real,
+                                         update_sn=update_sn)
+        f, fm, _ = discriminator_apply(d_params_dir, sn2, fake,
+                                       update_sn=False)
+        return r, f, rm, fm, sn2
 
     # fakes for the D phase (values only — stop_gradient = .detach())
     fake_B0 = gen(state.g_params["G_AB"], xa)
@@ -132,14 +166,10 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
 
     # ---------------- discriminator phase ----------------
     def d_loss_fn(d_params):
-        ra, _, sn_a = discriminator_apply(d_params["D_A"],
-                                          state.sn_state["D_A"], xa)
-        rb, _, sn_b = discriminator_apply(d_params["D_B"],
-                                          state.sn_state["D_B"], xb)
-        fa, _, _ = discriminator_apply(d_params["D_A"], sn_a, fake_A0,
-                                       update_sn=False)
-        fb, _, _ = discriminator_apply(d_params["D_B"], sn_b, fake_B0,
-                                       update_sn=False)
+        ra, fa, _, _, sn_a = d_pair(d_params["D_A"], state.sn_state["D_A"],
+                                    xa, fake_A0, update_sn=True)
+        rb, fb, _, _, sn_b = d_pair(d_params["D_B"], state.sn_state["D_B"],
+                                    xb, fake_B0, update_sn=True)
         d_real = (lsgan_loss(ra, 1.0) + lsgan_loss(rb, 1.0)) * 0.5
         d_fake = (lsgan_loss(fa, 0.0) + lsgan_loss(fb, 0.0)) * 0.5
         loss = d_real + d_fake
@@ -152,27 +182,23 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
 
     # ---------------- generator phase (vs updated D) ----------------
     def g_loss_fn(g_params):
-        fake_B = gen(g_params["G_AB"], xa)
-        fake_A = gen(g_params["G_BA"], xb)
-
-        idt_A = gen(g_params["G_BA"], xa)
-        idt_B = gen(g_params["G_AB"], xb)
+        # With pair_batching: (fake, identity) per generator and
+        # (real, fake) per discriminator each run as one 2x-batch call —
+        # 6 G + 4 D launches become 4 G + 2 D. Otherwise the reference's
+        # call-per-tensor ordering (enhanced_train.py:88-118).
+        fake_B, idt_B = paired(partial(gen, g_params["G_AB"]), xa, xb)
+        fake_A, idt_A = paired(partial(gen, g_params["G_BA"]), xb, xa)
         identity = (l1_loss(idt_A, xa) + l1_loss(idt_B, xb)) * LAMBDA_IDENTITY
-
-        fa, fa_map, _ = discriminator_apply(new_d_params["D_A"], new_sn["D_A"],
-                                            fake_A, update_sn=False)
-        fb, fb_map, _ = discriminator_apply(new_d_params["D_B"], new_sn["D_B"],
-                                            fake_B, update_sn=False)
-        gan = lsgan_loss(fa, 1.0) + lsgan_loss(fb, 1.0)
 
         recon_A = gen(g_params["G_BA"], fake_B)
         recon_B = gen(g_params["G_AB"], fake_A)
         cycle = (l1_loss(recon_A, xa) + l1_loss(recon_B, xb)) * LAMBDA_CYCLE
 
-        _, ra_map, _ = discriminator_apply(new_d_params["D_A"], new_sn["D_A"],
-                                           xa, update_sn=False)
-        _, rb_map, _ = discriminator_apply(new_d_params["D_B"], new_sn["D_B"],
-                                           xb, update_sn=False)
+        _, fa, ra_map, fa_map, _ = d_pair(new_d_params["D_A"], new_sn["D_A"],
+                                          xa, fake_A, update_sn=False)
+        _, fb, rb_map, fb_map, _ = d_pair(new_d_params["D_B"], new_sn["D_B"],
+                                          xb, fake_B, update_sn=False)
+        gan = lsgan_loss(fa, 1.0) + lsgan_loss(fb, 1.0)
         structure = (l1_loss(ra_map, fa_map)
                      + l1_loss(rb_map, fb_map)) * LAMBDA_STRUCTURE
 

@@ -293,6 +293,7 @@ def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
     import multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
         as wat
     import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+    import multi_style_transfer_gan_tpu.ops.pallas.window_mhsa_train as wmt
     from multi_style_transfer_gan_tpu.models.enhanced_generator import (
         local_attention_init,
     )
@@ -306,7 +307,7 @@ def test_fast_attention_train_vjp_matches_xla_grads(rng, monkeypatch):
         kw["interpret"] = True
         return orig(*a, **kw)
 
-    for mod in (wa, wa3, ft, wat):
+    for mod in (wa, wa3, ft, wat, wmt):
         monkeypatch.setattr(mod.pl, "pallas_call", interp)
 
     # windowed channel attention (covers both kernel dispatches)
@@ -491,3 +492,63 @@ def test_dispatch_probe_caches_winner(rng, monkeypatch, tmp_path):
     assert ad.pick(B, H, W, C, 4, jnp.float32) == winner
     # unknown shapes still fall back to the static table instantly
     assert ad.pick(4, 32, 32, 32, 4, jnp.float32) == "grouped"
+
+
+# ---------------------------------------------------------------------------
+# hand-written backward for the windowed MHSA mid (window_mhsa_train)
+# ---------------------------------------------------------------------------
+
+def _mhsa_mid_reference(qkv, window, heads):
+    """The XLA formulation of the mid (structural_transformer.
+    _window_attention minus the qkv/proj matmuls), used as parity oracle."""
+    B, H, W, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // heads
+    nh, nw = H // window, W // window
+    x = qkv.reshape(B, nh, window, nw, window, 3 * C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, 3 * C)
+    q, k, v = jnp.split(x, 3, axis=-1)
+    sh = lambda t: t.reshape(t.shape[0], -1, heads, hd).transpose(0, 2, 1, 3)
+    q, k, v = sh(q), sh(k), sh(v)
+    attn = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                      preferred_element_type=jnp.float32) * (hd ** -0.5)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, v,
+                     preferred_element_type=jnp.float32).astype(qkv.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(-1, window * window, C)
+    out = out.reshape(B, nh, nw, window, window, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+
+@pytest.mark.parametrize("shape,heads", [((2, 16, 16, 48), 1),
+                                         ((1, 8, 24, 192), 2),
+                                         ((1, 16, 8, 96), 1)])
+def test_mhsa_train_kernel_forward_and_grads_match_xla(rng, shape, heads):
+    from multi_style_transfer_gan_tpu.ops.pallas.window_mhsa_train import (
+        window_mhsa_train,
+    )
+
+    qkv = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    ref = _mhsa_mid_reference(qkv, 8, heads)
+    got = window_mhsa_train(qkv, 8, heads, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradient parity with a quadratic loss (cotangent depends on primal)
+    gk = jax.grad(lambda a: jnp.sum(window_mhsa_train(a, 8, heads, True)
+                                    ** 2))(qkv)
+    gx = jax.grad(lambda a: jnp.sum(_mhsa_mid_reference(a, 8, heads)
+                                    ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mhsa_train_kernel_bf16_grads_finite(rng):
+    from multi_style_transfer_gan_tpu.ops.pallas.window_mhsa_train import (
+        window_mhsa_train,
+    )
+
+    qkv = jnp.asarray(rng.standard_normal((1, 8, 8, 96)), jnp.bfloat16)
+    g = jax.grad(lambda a: jnp.sum(window_mhsa_train(a, 8, 1, True)
+                                   .astype(jnp.float32)))(qkv)
+    assert np.isfinite(np.asarray(g, np.float32)).all()

@@ -301,3 +301,44 @@ def test_extra_g_loss_hook_runs():
     state, losses = jax.jit(lambda s, a, b: cyclegan_train_step(
         s, a, b, g_tx, d_tx, extra_g_loss=hook, remat=False))(state, x, x)
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+@pytest.mark.slow
+def test_fast_attention_train_step_matches_xla_losses(rng, monkeypatch):
+    """One full CycleGAN step with fast_attention=True (the hand-written
+    backward kernels, interpreted) produces the same losses and nearly the
+    same parameter update as the pure-XLA step."""
+    from jax.experimental import pallas as pl
+
+    import multi_style_transfer_gan_tpu.ops.pallas.fused_transformer as ft
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention as wa
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
+        as wag
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
+        as wat
+    import multi_style_transfer_gan_tpu.ops.pallas.window_attention_v3 as wa3
+    import multi_style_transfer_gan_tpu.ops.pallas.window_mhsa_train as wmt
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    for mod in (wa, wa3, wag, wat, ft, wmt):
+        monkeypatch.setattr(mod.pl, "pallas_call", interp)
+
+    state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4)
+    g_tx, d_tx = make_optimizers()
+    xa = jnp.asarray(np.tanh(rng.standard_normal((2, 64, 64, 3))),
+                     jnp.float32)
+    xb = jnp.asarray(np.tanh(rng.standard_normal((2, 64, 64, 3))),
+                     jnp.float32)
+
+    _, l_fast = jax.jit(lambda s, a, b: cyclegan_train_step(
+        s, a, b, g_tx, d_tx, fast_attention=True))(state, xa, xb)
+    _, l_xla = jax.jit(lambda s, a, b: cyclegan_train_step(
+        s, a, b, g_tx, d_tx, fast_attention=False))(state, xa, xb)
+    for k in l_xla:
+        np.testing.assert_allclose(float(l_fast[k]), float(l_xla[k]),
+                                   rtol=2e-4, atol=2e-4)
