@@ -118,27 +118,58 @@ def probe(B, H, W, C, ws, dtype, *, rounds: int = 4, iters: int = 8,
     args = (x, wqkv, bqkv, wproj, bproj)
 
     fns, ms = {}, {}
-    for n in names:
-        impl = impls[n]
-        fn = jax.jit(lambda *a, _i=impl: _i(*a, window_size=ws, eps=1e-12))
-        try:
-            _ = np.asarray(fn(*args)[0, :1, :1])  # compile + sanity
-            fns[n] = fn
-            ms[n] = float("inf")
-        except Exception as e:  # kernel rejected (e.g. compile-service 500)
-            if verbose:
-                print(f"#   {n}: failed {str(e)[:90]}")
-    if not fns:
-        raise RuntimeError("no attention candidate compiled")
+    try:
+        for n in names:
+            impl = impls[n]
+            fn = jax.jit(lambda *a, _i=impl: _i(*a, window_size=ws,
+                                                eps=1e-12))
+            try:
+                out = fn(*args)
+                _ = np.asarray(out[0, :1, :1])  # compile + sanity
+                out.delete()
+                fns[n] = fn
+                ms[n] = float("inf")
+            except Exception as e:  # rejected kernel / compile-500 / OOM
+                if verbose:
+                    print(f"#   {n}: failed {str(e)[:90]}")
+        if not fns:
+            raise RuntimeError("no attention candidate compiled")
 
-    for _ in range(rounds):
-        for n, fn in fns.items():  # interleave: time-shared chip fairness
-            outs = [fn(*args) for _ in range(2)]
-            _ = np.asarray(outs[-1][0, :1, :1])  # drain warmup dispatches
-            t0 = time.perf_counter()
-            outs = [fn(*args) for _ in range(iters)]
-            _ = np.asarray(outs[-1][0, :1, :1])
-            ms[n] = min(ms[n], (time.perf_counter() - t0) / iters * 1e3)
+        def burst(fn, k):
+            """Dispatch k back-to-back, keeping at most TWO outputs alive
+            (a held batch of k outputs OOMs the chip at 1 GB shapes);
+            returns after a host fetch of the last (the only real sync)."""
+            last = prev = None
+            for _ in range(k):
+                o = fn(*args)
+                if prev is not None:
+                    prev.delete()  # runtime frees it once its use retires
+                prev, last = last, o
+            _ = np.asarray(last[0, :1, :1])
+            if prev is not None:
+                prev.delete()
+            last.delete()
+
+        for _ in range(rounds):
+            for n, fn in fns.items():  # interleave: time-shared fairness
+                try:
+                    burst(fn, 2)       # drain warmup dispatches
+                    t0 = time.perf_counter()
+                    burst(fn, iters)
+                    ms[n] = min(ms[n],
+                                (time.perf_counter() - t0) / iters * 1e3)
+                except Exception as e:  # e.g. OOM mid-run: drop candidate
+                    if verbose:
+                        print(f"#   {n}: run failed {str(e)[:90]}")
+                    ms.pop(n, None)
+        fns = {n: f for n, f in fns.items() if n in ms}
+        if not ms:
+            raise RuntimeError("every candidate failed while timing")
+    finally:
+        # free the probe tensors deterministically — a leaked 1 GB probe
+        # batch poisons every later probe on a 16 GB chip
+        for a in args:
+            a.delete()
 
     winner = min(ms, key=ms.get)
     if verbose:

@@ -329,41 +329,53 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                 arr, batch_sharding if mesh is not None else None)
 
     t0 = time.perf_counter()
-    pending = []  # (files, sizes, device_out) — double buffer
     n_done = 0
     saves = []
+    # D2H + save run on their own thread so the main loop's decode + H2D
+    # overlaps them. On a PCIe host the fetch is ~ms; on the tunnel backend
+    # it is the single biggest cost (~20-40 MB/s measured — ~0.65 s per
+    # 64x256^2 batch), and running it serially with decode/put/save capped
+    # the whole folder pipeline at ~24 img/s vs the ~158 img/s host-I/O
+    # roofline (scripts/ab_host_io.py).
+    fetch_pool = ThreadPoolExecutor(max_workers=1)
 
-    def drain(entry):
-        nonlocal n_done
-        chunk, sizes, dev_out = entry
-        host = np.asarray(dev_out)  # D2H
+    def save_batch(host, chunk, sizes):
+        """Encode one fetched batch to disk; returns the count written.
+        Runs on save_pool so the fetch thread goes straight back to D2H."""
         out_paths = [os.path.join(out_dir, os.path.basename(f))
                      for f in chunk]
+        done = 0
         todo = range(len(chunk))
         if use_native:
             # native batch save (aspect-crop + resize-back + turbo encode);
             # exotic extensions (BMP, ...) fall back to the PIL path below
             ok = save_canvas_batch(host[:len(chunk)], sizes, out_paths,
                                    num_threads=decode_workers)
-            n_done += int(ok.sum())
+            done += int(ok.sum())
             todo = [j for j in todo if not ok[j]]
         for j in todo:
-            saves.append(save_pool.submit(_restore_and_save, host[j],
-                                          sizes[j], out_paths[j], canvas))
-            n_done += 1
+            _restore_and_save(host[j], sizes[j], out_paths[j], canvas)
+            done += 1
+        return done
+
+    def drain(entry):  # runs on fetch_pool (one worker: ordered fetches)
+        chunk, sizes, dev_out = entry
+        host = np.asarray(dev_out)  # D2H
+        saves.append(save_pool.submit(save_batch, host, chunk, sizes))
 
     try:
+        drains = []
         for chunk, sizes, dev_batch in batches():
             dev_out = run_fn(dev_batch)  # async dispatch
-            pending.append((chunk, sizes, dev_out))
-            if len(pending) > 1:  # keep one batch in flight
-                drain(pending.pop(0))
-        while pending:
-            drain(pending.pop(0))
-        for s in saves:
-            s.result()
+            drains.append(fetch_pool.submit(drain, (chunk, sizes, dev_out)))
+            if len(drains) > 2:  # bound in-flight device outputs (HBM)
+                drains.pop(0).result()
+        for d in drains:
+            d.result()
+        n_done += sum(s.result() for s in saves)
     finally:
         decode_pool.shutdown(wait=False)
+        fetch_pool.shutdown(wait=True)
         save_pool.shutdown(wait=True)
     elapsed = time.perf_counter() - t0
     print(f"done: {n_done}/{len(files)} images in {elapsed:.2f}s "
