@@ -340,6 +340,12 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
         return ckpt(f)
 
     orig = x
+    # Stem stays the plain NHWC conv even on the fast path: a packed-layout
+    # stem (s2d(4) -> packed 7x7 conv -> d2s, math-exact) measured 0.83x in
+    # a same-run A/B at 512^2 x96 bf16 (19.1 vs 15.9 ms) — the s2d/d2s hops
+    # plus the repacked kernel's 2.9x redundant FLOPs outweigh the dense-lane
+    # win when the engine immediately unpacks (docs/PERFORMANCE.md; the
+    # packed ENGINE avoids this by staying packed end-to-end).
     h = relu(instance_norm(
         conv2d(x, params["initial.0.weight"], params["initial.0.bias"],
                padding=3)))

@@ -65,6 +65,10 @@ def spatial_apply(model, mesh: Mesh | None = None,
     fast_attention=True (enhanced models) keeps the Pallas fast path under
     the height shard: the window kernels run per-shard via ``shard_map``
     (sharding_spec.ShardedFastAttention) while everything else stays GSPMD.
+    It is OPT-IN because at the spatial regime (batch 1, large image) the
+    kernels measured 0.92x vs plain GSPMD XLA on the chip — the shard_map
+    boundary costs more than the kernels win at batch 1; see
+    docs/PERFORMANCE.md "Spatial ... and the fast path".
     """
     from functools import partial as _partial
 
