@@ -108,6 +108,55 @@ def conv_transpose2d(x, w, b=None, *, stride=1, padding=0, output_padding=0,
     return out
 
 
+def _convt_k4s2p1_phase_kernel(w):
+    """Rewrites a (4, 4, Cin, Cout) ConvTranspose2d(k=4, s=2, p=1) weight as
+    a (3, 3, Cin, 4*Cout) regular-conv kernel computing the four output
+    phases (depth-to-space trick).
+
+    Transposed-conv law per dim: out[2*i - 1 + t] += x[i] * W[t], t in [0,4).
+    Solving for each output phase:
+      even  out[2u]   = x[u-1]*W[3] + x[u]*W[1]
+      odd   out[2u+1] = x[u]*W[2]   + x[u+1]*W[0]
+    Both supports fit one 3x3 window centered at u (padding 1); the kernel
+    below places each phase's two taps per dim and zeros elsewhere. Adding
+    exact zeros keeps the math identical to the transposed conv (same
+    products, MXU-reassociated sums).
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    # per-dim map: (phase d, 3-window tap position) -> source tap t of w
+    sel = ((0, 0, 3), (0, 1, 1), (1, 1, 2), (1, 2, 0))
+    k = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for dy, wy, ty in sel:
+        for dx, wx, tx in sel:
+            ph = dy * 2 + dx
+            k = k.at[wy, wx, :, ph * cout:(ph + 1) * cout].set(w[ty, tx])
+    return k
+
+
+def conv_transpose2d_d2s(x, w, b=None, *, preferred_dtype=jnp.float32):
+    """ConvTranspose2d(k=4, s=2, p=1) as ONE dense 3x3 conv + depth-to-space.
+
+    Math-exact rewrite of ``conv_transpose2d(x, w, stride=2, padding=1)`` for
+    the 4x4 kernel the generators use (reference enhanced_generator.py's
+    up-ladder / pretrain.py decoder): XLA lowers a transposed conv via
+    lhs_dilation (zero-stuffed input) whose implicit zeros waste 3/4 of the
+    MXU feed; here the four output phases come out of one ordinary 3x3 conv
+    with 4*Cout dense output lanes, then a free reshape/transpose interleaves
+    them. The kernel rewrite is a tiny constant-shaped scatter that XLA
+    hoists out of the batch loop. Autodiff works through it (conv + d2s are
+    both differentiable), so the fast training path can use it too.
+    """
+    b_, h, wdt, _ = x.shape
+    cout = w.shape[3]
+    k = _convt_k4s2p1_phase_kernel(w)
+    out = conv2d(x, k, padding=1, preferred_dtype=preferred_dtype)
+    out = out.reshape(b_, h, wdt, 2, 2, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * wdt, cout)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def linear(x, w, b=None, *, preferred_dtype=jnp.float32):
     """Dense layer matching ``torch.nn.functional.linear`` (w is (out, in))."""
     out = jnp.dot(x, w.T.astype(x.dtype),

@@ -296,7 +296,8 @@ def channels_of(params) -> int:
 
 def enhanced_generator_apply(params, x, *, window_size: int = 4,
                              fast_attention=False,
-                             remat: bool = False):
+                             remat: bool = False,
+                             upsample_d2s: bool | None = None):
     """Forward pass. x: (B, H, W, 3) in [-1, 1], H and W divisible by 16.
 
     Mirrors the reference dataflow (enhanced_generator.py:210-228): stem ->
@@ -313,8 +314,17 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
     fast_attention: False = pure XLA; True = fused Pallas kernels
     (inference only); "train" = fused kernels forward with XLA-formulation
     custom_vjp backward (differentiable, composes with remat).
+
+    upsample_d2s: run the up-ladder's ConvTranspose2d(4, 2, 1) as the
+    math-exact dense-3x3-conv + depth-to-space rewrite (core.conv.
+    conv_transpose2d_d2s). Measured SLOWER on the real chip — 0.83x/0.86x
+    at the up1/up2 shapes, 0.97x whole-pipeline (scripts/ab_convt_d2s.py,
+    96x512^2 bf16): XLA's lhs-dilated lowering already skips the implicit
+    zeros. Kept opt-in for re-measurement on future toolchains; default
+    None = off.
     """
     ckpt = jax.checkpoint if remat else (lambda f: f)
+    upsample_d2s = bool(upsample_d2s)
 
     def down_stage(name):
         def f(params, h):
@@ -329,9 +339,14 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
 
     def up_stage(name):
         def f(params, h):
-            h = conv_transpose2d(h, params[f"{name}.0.weight"],
-                                 params[f"{name}.0.bias"], stride=2,
-                                 padding=1)
+            if upsample_d2s:
+                from ..core.conv import conv_transpose2d_d2s
+                h = conv_transpose2d_d2s(h, params[f"{name}.0.weight"],
+                                         params[f"{name}.0.bias"])
+            else:
+                h = conv_transpose2d(h, params[f"{name}.0.weight"],
+                                     params[f"{name}.0.bias"], stride=2,
+                                     padding=1)
             h = relu(instance_norm(h))
             h = local_attention_apply(params, h, prefix=f"{name}.3.",
                                       window_size=window_size,

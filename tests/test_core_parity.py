@@ -150,3 +150,24 @@ def test_spectral_norm_matches_torch(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.transpose(np.asarray(w_norm), (3, 2, 0, 1)),
                                w_eff_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,hw", [
+    (32, 16, (9, 13)),   # up2 shape family (odd sizes stress the phases)
+    (64, 32, (8, 8)),    # up1
+    (8, 4, (5, 7)),
+])
+def test_conv_transpose2d_d2s_matches_transposed_conv(rng, cin, cout, hw):
+    """The depth-to-space phase rewrite is math-exact for k=4, s=2, p=1."""
+    from multi_style_transfer_gan_tpu.core.conv import conv_transpose2d_d2s
+
+    x = rng.standard_normal((2, *hw, cin), dtype=np.float32)
+    w = rng.standard_normal((4, 4, cin, cout), dtype=np.float32) * 0.1
+    b = rng.standard_normal((cout,), dtype=np.float32)
+
+    ref = conv_transpose2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                           stride=2, padding=1)
+    out = conv_transpose2d_d2s(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
+    assert out.shape == ref.shape == (2, 2 * hw[0], 2 * hw[1], cout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
