@@ -53,6 +53,7 @@ def test_inception_importer_skips_head_keys(inception_sd):
     assert params["Conv2d_1a_3x3.conv.weight"].shape == (3, 3, 3, 32)
 
 
+@pytest.mark.slow
 def test_make_inception_feature_fn_end_to_end(inception_sd, tmp_path):
     """.pth on disk -> feature_fn -> FID of a folder pair (resize path +
     harness integration)."""

@@ -220,7 +220,10 @@ def test_window_attention_v3_matches_reference(rng, C):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("dim,hw", [(64, (16, 24)), (32, (8, 8))])
+@pytest.mark.parametrize("dim,hw", [
+    pytest.param(64, (16, 24), marks=pytest.mark.slow),  # deployed dim: slow tier
+    (32, (8, 8)),
+])
 def test_fused_structural_block_matches_reference(rng, dim, hw):
     """Fused Pallas block body == structural_transformer_apply (fp32)."""
     from multi_style_transfer_gan_tpu.models.structural_transformer import (
@@ -362,8 +365,14 @@ def _attn_params(rng, C):
 
 # (2,32,32,16): nw=8 % g=8 == 0 fast relayout; (1,16,48,32): nw=12 % g=4;
 # (2,16,12,16): nw=3 % g=8 != 0 exercises the general relayout branch.
-@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 16, 48, 32),
-                                   (2, 16, 12, 16), (1, 16, 16, 64)])
+# Default tier keeps both C=16 relayout branches; the C=32/C=64 width
+# variants run in the slow tier (suite-budget tiering, VERDICT r1 item 7).
+@pytest.mark.parametrize("shape", [
+    (2, 32, 32, 16),
+    pytest.param((1, 16, 48, 32), marks=pytest.mark.slow),
+    (2, 16, 12, 16),
+    pytest.param((1, 16, 16, 64), marks=pytest.mark.slow),
+])
 def test_train_kernel_forward_and_grads_match_xla(rng, shape):
     from multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
         import supports_train_kernel, window_channel_attention_train
@@ -520,9 +529,11 @@ def _mhsa_mid_reference(qkv, window, heads):
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
 
 
-@pytest.mark.parametrize("shape,heads", [((2, 16, 16, 48), 1),
-                                         ((1, 8, 24, 192), 2),
-                                         ((1, 16, 8, 96), 1)])
+@pytest.mark.parametrize("shape,heads", [
+    ((2, 16, 16, 48), 1),
+    pytest.param((1, 8, 24, 192), 2, marks=pytest.mark.slow),
+    pytest.param((1, 16, 8, 96), 1, marks=pytest.mark.slow),
+])
 def test_mhsa_train_kernel_forward_and_grads_match_xla(rng, shape, heads):
     from multi_style_transfer_gan_tpu.ops.pallas.window_mhsa_train import (
         window_mhsa_train,

@@ -46,6 +46,7 @@ def photo(tmp_path_factory):
     return p
 
 
+@pytest.mark.slow  # the CLI smoke test drives the same five variants
 def test_advanced_five_variants(models, photo, tmp_path):
     enh, _ = models
     results = generate_with_different_settings(enh, photo, tmp_path)

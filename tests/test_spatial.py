@@ -26,7 +26,7 @@ def _loaded(kind, params, fwd, channels):
                        precision="highest")
 
 
-@pytest.mark.parametrize("sp", [2, 8])
+@pytest.mark.parametrize("sp", [2, pytest.param(8, marks=pytest.mark.slow)])
 def test_enhanced_spatial_matches_unsharded(sp):
     params = enhanced_generator_init(jax.random.PRNGKey(0), channels=4,
                                      num_transformer_blocks=1)
@@ -42,7 +42,7 @@ def test_enhanced_spatial_matches_unsharded(sp):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("sp", [2, 8])
+@pytest.mark.parametrize("sp", [2, pytest.param(8, marks=pytest.mark.slow)])
 def test_enhanced_spatial_fast_attention_matches_unsharded(sp, monkeypatch):
     """fast_attention=True under the height shard (shard_map'd Pallas
     kernels, interpreted on CPU) must match the unsharded XLA forward."""

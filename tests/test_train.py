@@ -188,6 +188,7 @@ def test_pretrain_checkpoint_torch_loadable(tmp_path):
     assert float(st["step"]) == 1.0
 
 
+@pytest.mark.slow
 def test_pretrain_resume_fast_forwards_schedule(tmp_path):
     """restore_opt_state must resume the cosine schedule at the saved step
     (the reference restores the torch scheduler) and restore adam moments."""

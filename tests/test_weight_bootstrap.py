@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 import fetch_feature_weights as ffw  # noqa: E402
 
 
+@pytest.mark.slow  # vgg16 sibling covers the converter in the default tier
 def test_fetch_script_converts_inception(tmp_path):
     sd = make_inception_sd(np.random.default_rng(3))
     src = tmp_path / "inception_v3_google-download.pth"
