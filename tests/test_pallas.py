@@ -503,6 +503,43 @@ def test_dispatch_probe_caches_winner(rng, monkeypatch, tmp_path):
     assert ad.pick(4, 32, 32, 32, 4, jnp.float32) == "grouped"
 
 
+def test_dispatch_shipped_table_used_on_fresh_tpu_machine(monkeypatch,
+                                                          tmp_path):
+    """VERDICT round-2 item 5: a fresh machine with NO per-machine cache must
+    dispatch the quiet-chip winners shipped in tuned_dispatch.json — v3 at
+    the C=16 big grids (where the static rules say grouped), grouped at
+    C=32, v1 at C=64 — for any batch size, on tpu-class backends."""
+    import jax as _jax
+
+    import multi_style_transfer_gan_tpu.ops.pallas.attention_dispatch as ad
+
+    monkeypatch.setenv("MSTGAN_DISPATCH_CACHE",
+                       str(tmp_path / "missing.json"))
+    monkeypatch.delenv("MSTGAN_AUTOTUNE", raising=False)
+    monkeypatch.setattr(ad, "_mem", None)   # no per-machine cache
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    bf16 = jnp.bfloat16
+    # the six deployed stage shapes, at batches the tuner never saw
+    for B in (16, 96, 128):
+        assert ad.pick(B, 512, 512, 16, 4, bf16) == "v3"     # up2 @512-in
+        assert ad.pick(B, 256, 256, 32, 4, bf16) == "grouped"  # down1/up1
+        assert ad.pick(B, 128, 128, 64, 4, bf16) == "v1"     # down2
+        assert ad.pick(B, 256, 256, 16, 4, bf16) == "v3"     # up2 @256-in
+        assert ad.pick(B, 128, 128, 32, 4, bf16) == "grouped"
+        assert ad.pick(B, 64, 64, 64, 4, bf16) == "v1"
+    # unknown shapes keep the static fallback
+    assert ad.pick(4, 32, 32, 32, 4, bf16) == "grouped"
+    # non-tpu backends ignore the shipped v5e measurements
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert ad.pick(96, 512, 512, 16, 4, bf16) == "grouped"
+    # a per-machine cache entry still outranks the shipped table
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    ad._load()[ad._key(96, 512, 512, 16, 4, bf16)] = "grouped"
+    assert ad.pick(96, 512, 512, 16, 4, bf16) == "grouped"
+    monkeypatch.setattr(ad, "_mem", None)
+
+
 # ---------------------------------------------------------------------------
 # hand-written backward for the windowed MHSA mid (window_mhsa_train)
 # ---------------------------------------------------------------------------
