@@ -122,6 +122,10 @@ def _convt_k4s2p1_phase_kernel(w):
     exact zeros keeps the math identical to the transposed conv (same
     products, MXU-reassociated sums).
     """
+    if w.shape[:2] != (4, 4):
+        raise ValueError(
+            f"conv_transpose2d_d2s only rewrites 4x4 stride-2 pad-1 kernels; "
+            f"got spatial shape {tuple(w.shape[:2])}")
     cin, cout = w.shape[2], w.shape[3]
     # per-dim map: (phase d, 3-window tap position) -> source tap t of w
     sel = ((0, 0, 3), (0, 1, 1), (1, 1, 2), (1, 2, 0))

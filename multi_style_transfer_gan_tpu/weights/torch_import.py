@@ -266,7 +266,12 @@ def save_pth(obj, path):
                 arr = arr.copy()
             return torch.from_numpy(arr)
         if isinstance(v, jnp.ndarray):
-            return torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+            # np.asarray(jax array) is a non-writable view; torch warns on
+            # from_numpy over those — hand it a writable copy instead.
+            arr = np.ascontiguousarray(np.asarray(v))
+            if not arr.flags.writeable:
+                arr = arr.copy()
+            return torch.from_numpy(arr)
         return v
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
