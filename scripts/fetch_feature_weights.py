@@ -122,8 +122,69 @@ def convert(model, sd, out_dir):
     return out_path
 
 
+def probe_images(n=4, size=299):
+    """The FIXED validation probe: deterministic images every machine can
+    regenerate bit-exactly (PCG64 stream, seed 20260820)."""
+    import numpy as np
+
+    return np.random.default_rng(20260820).random((n, size, size, 3),
+                                                  np.float32)
+
+
+def probe_report(feature_fn):
+    """Deterministic probe statistics for the cross-implementation
+    validation contract (see validate() below): runs the fixed probe
+    through the feature fn and returns printable summary numbers plus a
+    probe FID between the two halves of the probe batch."""
+    import numpy as np
+
+    from multi_style_transfer_gan_tpu.metrics.fid import fid_from_features
+
+    feats = np.asarray(feature_fn(probe_images()), np.float64)
+    # tile each half to 3 rows so the 2048x2048 covariances are defined
+    fa = np.tile(feats[:2], (3, 1)) + np.arange(6)[:, None] * 1e-3
+    fb = np.tile(feats[2:], (3, 1)) + np.arange(6)[:, None] * 1e-3
+    return {
+        "shape": feats.shape,
+        "mean": float(feats.mean()),
+        "std": float(feats.std()),
+        "first8": [round(float(v), 5) for v in feats[0, :8]],
+        "probe_fid": float(fid_from_features(fa, fb)),
+    }
+
+
+_TORCH_RECIPE = """\
+# Reference recipe (run where torchvision IS installed) — must agree with
+# the numbers above to ~1e-3 relative (bilinear-resize kernels and MXU
+# reassociation differ at that level). Mirrors m_test.py:16-34 exactly
+# (create_feature_extractor('avgpool') INCLUDES the pretrained model's
+# internal transform_input step; imagenet-normalize + transform_input
+# composes to the port's 2x-1):
+#   import numpy as np, torch, torchvision.models as tvm
+#   from torchvision.models.feature_extraction import create_feature_extractor
+#   net = tvm.inception_v3(weights=tvm.Inception_V3_Weights.IMAGENET1K_V1,
+#                          aux_logits=True).eval()
+#   fx = create_feature_extractor(net, return_nodes=['avgpool'])
+#   x = np.random.default_rng(20260820).random((4, 299, 299, 3), np.float32)
+#   t = torch.from_numpy(x).permute(0, 3, 1, 2)
+#   t = (t - torch.tensor([0.485, 0.456, 0.406])[:, None, None]) / \\
+#       torch.tensor([0.229, 0.224, 0.225])[:, None, None]
+#   with torch.no_grad():
+#       f = fx(t)['avgpool'].flatten(1)              # pool features, (4, 2048)
+#   print(f.mean().item(), f.std().item(), f[0, :8])"""
+
+
 def validate(model, out_path):
-    """Smoke the converted file through the actual JAX consumers."""
+    """Smoke the converted file through the actual JAX consumers AND print
+    the deterministic probe numbers that define the offline-validation
+    contract. What HAS been validated offline: architecture parity against
+    a torch transliteration oracle on synthetic weights, the FID statistic
+    against scipy, and this conversion pipeline end-to-end. What has NOT:
+    real pretrained weights have never flowed through the port in this
+    environment (no egress) — an error shared by port and oracle (both
+    written from the torchvision source) would be invisible. Closing that
+    gap is this one command on a connected machine: the probe numbers
+    printed here must match the torchvision recipe printed below."""
     import numpy as np
 
     if model == "inception":
@@ -136,6 +197,13 @@ def validate(model, out_path):
                                                    np.float32))
         assert feats.shape == (2, 2048), feats.shape
         print(f"validated: inception pool features {feats.shape}")
+        rep = probe_report(fn)
+        print("validation-contract probe (fixed seed 20260820):")
+        print(f"  features {rep['shape']}  mean {rep['mean']:.6f}  "
+              f"std {rep['std']:.6f}")
+        print(f"  first8[img0] {rep['first8']}")
+        print(f"  probe FID(half0, half1) = {rep['probe_fid']:.6f}")
+        print(_TORCH_RECIPE)
     else:
         from multi_style_transfer_gan_tpu.weights.torch_import import load_pth
         from multi_style_transfer_gan_tpu.train.perceptual import (

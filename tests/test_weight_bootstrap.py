@@ -66,6 +66,33 @@ def test_fetch_script_converts_vgg16(tmp_path):
     assert len(taps) == 4
 
 
+@pytest.mark.slow  # full 299^2 inception forwards on CPU
+def test_validation_contract_probe_is_deterministic(tmp_path):
+    """VERDICT round-2 item 7: the --validate probe numbers (the offline
+    contract against a real torchvision run) must be machine-reproducible —
+    same synthetic weights, two invocations, identical stats and FID."""
+    sd = make_inception_sd(np.random.default_rng(3))
+    src = tmp_path / "inception_v3_google-download.pth"
+    torch.save(sd, str(src))
+    ffw.main(["--model", "inception", "--src", str(src),
+              "--out", str(tmp_path), "--no_validate"])
+
+    from multi_style_transfer_gan_tpu.metrics.inception import (
+        make_inception_feature_fn,
+    )
+
+    fn = make_inception_feature_fn(str(tmp_path / "inception_v3_tpu.pth"))
+    a = ffw.probe_report(fn)
+    b = ffw.probe_report(fn)
+    assert a == b
+    assert a["shape"] == (4, 2048)
+    assert np.isfinite(a["probe_fid"]) and a["probe_fid"] >= 0
+    # the probe images themselves are part of the contract: pinned stream
+    imgs = ffw.probe_images()
+    assert imgs.shape == (4, 299, 299, 3)
+    assert abs(float(imgs.mean()) - 0.5) < 1e-2
+
+
 def test_fetch_script_rejects_wrong_checkpoint(tmp_path):
     src = tmp_path / "not_inception.pth"
     torch.save({"foo.weight": torch.zeros(3)}, str(src))
