@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
-            *, T: int, P: int, C: int, eps: float):
+            *, T: int, P: int, C: int, eps: float, mx):
     # I/O is (T*P, C) row-major over windows. Notes on Mosaic constraints:
     # - splitting the LANE dim in-kernel ((T, P*C) -> (T*P, C)) is
     #   unsupported ("infer-vector-layout: unsupported shape"); the
@@ -62,8 +62,11 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
         n = jnp.where(zero, 0.0, n)
         return u / jnp.maximum(n, eps)
 
-    qn = _norm(q)
-    kn = _norm(k)
+    # MXU operands at `mx` (bf16 for bf16 inputs; fp32 accumulation via
+    # preferred_element_type; normalize/softmax stay fp32) — an fp32 MXU
+    # pass costs several bf16 ones.
+    qn = _norm(q).astype(mx)
+    kn = _norm(k).astype(mx)
     # (T, C, C) batched cross-covariance. A P-unrolled VPU outer-product
     # formulation (to allow much larger T) was tried and crashes the Mosaic
     # compiler at useful tile sizes; the batched dots below compile
@@ -73,17 +76,20 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
         preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
-        attn, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        attn.astype(mx), v.astype(mx),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)  # (T, C, P)
     out = out.transpose(0, 2, 1).reshape(T * P, C)
-    proj = jnp.dot(out, wproj_ref[:], preferred_element_type=jnp.float32)
+    proj = jnp.dot(out.astype(x.dtype), wproj_ref[:],
+                   preferred_element_type=jnp.float32)
     o_ref[:] = (proj + bproj_ref[:]).astype(o_ref.dtype)
 
 
 def fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
                                    *, window_size: int = 4,
                                    tile_windows: int | None = None,
-                                   eps: float = 1e-12):
+                                   eps: float = 1e-12,
+                                   internal_dtype=None):
     """Drop-in replacement for local_attention_apply's math.
 
     Args:
@@ -110,8 +116,11 @@ def fused_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
     T = max(T, 1)
     grid = (n_windows // T,)
 
+    from .window_attention_grouped import _mxu_dtype
+    mx = _mxu_dtype(x.dtype, internal_dtype)
+
     out = pl.pallas_call(
-        partial(_kernel, T=T, P=P, C=C, eps=eps),
+        partial(_kernel, T=T, P=P, C=C, eps=eps, mx=mx),
         grid=grid,
         in_specs=[
             pl.BlockSpec((T * P, C), lambda i: (i, 0),

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             mblk_ref, mblk_t_ref, o_ref,
-            *, Gt: int, P: int, C: int, g: int, eps: float):
+            *, Gt: int, P: int, C: int, g: int, eps: float, mx):
     gC = g * C
     # (Gt, P, gC) -> (Gt*P, gC): leading-dim fold, 128-lane minor untouched.
     x = x_ref[:].reshape(Gt * P, gC)
@@ -70,10 +70,13 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         return u * jnp.dot(inv, mblk_t_ref[:],
                            preferred_element_type=jnp.float32)
 
-    # sublane unfolds (lane dim unchanged) back to (Gt, P, gC)
-    qn = _norm(q).reshape(Gt, P, gC)
-    kn = _norm(k).reshape(Gt, P, gC)
-    v3 = v.reshape(Gt, P, gC)
+    # sublane unfolds (lane dim unchanged) back to (Gt, P, gC). The MXU
+    # operands run at `mx` (bf16 for bf16 inputs: an fp32 MXU pass costs
+    # several bf16 ones; accumulation stays fp32 via preferred_element_type,
+    # and normalize/softmax math above/below stays fp32).
+    qn = _norm(q).astype(mx).reshape(Gt, P, gC)
+    kn = _norm(k).astype(mx).reshape(Gt, P, gC)
+    v3 = v.astype(mx).reshape(Gt, P, gC)
 
     # ONE dense 128x128 MXU pass per group: contract over P. Diagonal
     # C x C blocks are the g per-window Grams; off-blocks are masked.
@@ -88,9 +91,10 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
     # values x block-diagonal attn: out[i,p,j] = sum_j' v[i,p,j'] attn[i,j,j']
     out = jax.lax.dot_general(
-        v3, attn, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        v3, attn.astype(mx), dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)       # (Gt, P, gC)
-    proj = jnp.dot(out.reshape(Gt * P, gC), wproj_ref[:],
+    proj = jnp.dot(out.reshape(Gt * P, gC).astype(mx),
+                   wproj_ref[:].astype(mx),
                    preferred_element_type=jnp.float32)
     proj = (proj + bproj_ref[:]).astype(o_ref.dtype)
     o_ref[:] = proj.reshape(Gt, P, gC)
@@ -114,10 +118,22 @@ def _expand_weights(wqkv, bqkv, wproj, bproj, g: int, C: int):
     return wqkv_big, bqkv_big, wproj_big, bproj_big, mblk, mblk.T
 
 
+def _mxu_dtype(x_dtype, internal_dtype):
+    """MXU operand dtype for the gram/apply/proj passes: follow the input
+    (bf16 inputs get bf16 passes with fp32 accumulation — the production
+    pipeline's own precision; fp32 inputs keep exact fp32 passes, which is
+    what the parity tests run)."""
+    if internal_dtype is not None:
+        return jnp.dtype(internal_dtype)
+    return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
+
+
 def _run_grouped(s, expanded, *, P: int, C: int, g: int, eps: float,
-                 tile_groups: int | None, interpret: bool):
+                 tile_groups: int | None, interpret: bool,
+                 internal_dtype=None):
     """Kernel launch on lane-stacked groups s: (G, P, g*C) -> same shape."""
     G = s.shape[0]
+    mx = _mxu_dtype(s.dtype, internal_dtype)
     if tile_groups is None:
         # fp32 (Gt,128,128) logits + e dominate VMEM: 2 MB each at Gt=32,
         # comfortably inside the 16 MiB scoped limit with qkv + weights.
@@ -130,7 +146,7 @@ def _run_grouped(s, expanded, *, P: int, C: int, g: int, eps: float,
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps),
+        partial(_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps, mx=mx),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Gt, P, g * C), lambda i: (i, 0, 0),
@@ -153,7 +169,8 @@ def packed_grouped_window_attention(x, wqkv, bqkv, wproj, bproj, *,
                                     C: int | None = None,
                                     tile_groups: int | None = None,
                                     eps: float = 1e-12,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    internal_dtype=None):
     """Grouped-Gram kernel on an ALREADY-PACKED tensor (ops/packed.py layout).
 
     x: (B, Hp, Wp, P*C) with lane order (position, channel) — one packed
@@ -179,7 +196,8 @@ def packed_grouped_window_attention(x, wqkv, bqkv, wproj, bproj, *,
         s = x.reshape(B, Hp, Wp // g, g, P, C)
         s = s.transpose(0, 1, 2, 4, 3, 5).reshape(G, P, g * C)
         out = _run_grouped(s, expanded, P=P, C=C, g=g, eps=eps,
-                           tile_groups=tile_groups, interpret=interpret)
+                           tile_groups=tile_groups, interpret=interpret,
+                           internal_dtype=internal_dtype)
         out = out.reshape(B, Hp, Wp // g, P, g, C)
         out = out.transpose(0, 1, 2, 4, 3, 5)
         return out.reshape(B, Hp, Wp, Cp)
@@ -190,7 +208,8 @@ def packed_grouped_window_attention(x, wqkv, bqkv, wproj, bproj, *,
     G = R // g
     s = x.reshape(G, g, P, C).transpose(0, 2, 1, 3).reshape(G, P, g * C)
     out = _run_grouped(s, expanded, P=P, C=C, g=g, eps=eps,
-                       tile_groups=tile_groups, interpret=interpret)
+                       tile_groups=tile_groups, interpret=interpret,
+                       internal_dtype=internal_dtype)
     out = out.reshape(G, P, g, C).transpose(0, 2, 1, 3)
     return out.reshape(B, Hp, Wp, Cp)
 
@@ -199,7 +218,8 @@ def grouped_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
                                      *, window_size: int = 4,
                                      tile_groups: int | None = None,
                                      eps: float = 1e-12,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     internal_dtype=None):
     """Drop-in replacement for local_attention_apply's math (C <= 64).
 
     Args:
@@ -238,7 +258,8 @@ def grouped_window_channel_attention(x, wqkv, bqkv, wproj, bproj,
         fold = ("raster", t.shape)
 
     out = _run_grouped(s, expanded, P=P, C=C, g=g, eps=eps,
-                       tile_groups=tile_groups, interpret=interpret)
+                       tile_groups=tile_groups, interpret=interpret,
+                       internal_dtype=internal_dtype)
 
     # inverse relayout back to NHWC
     if fold[0] == "adj":

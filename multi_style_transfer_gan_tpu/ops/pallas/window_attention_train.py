@@ -28,9 +28,12 @@ enhanced_generator.py:13-47; all dense per group here):
 The L2-norm backward matches jax's gradient of core.norm.l2_normalize
 exactly, including the eps clamp and the zero-vector guard.
 
-Numerics: fp32 logits/softmax/accumulation in both kernels regardless of
-input dtype (bf16 in training); gradient parity vs the XLA formulation is
-pinned by tests/test_pallas.py.
+Numerics: fp32 logits/softmax/accumulation in both kernels; on bf16
+inputs the MXU OPERANDS run bf16 (fp32 accumulation — round 3: the fp32
+operand passes cost several bf16 MXU passes each and bound the kernels),
+matching the bf16 compute precision of training itself. fp32 inputs keep
+exact fp32 passes; gradient parity vs the XLA formulation is pinned by
+tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -110,40 +113,44 @@ def _block_mask(gC, C):
 
 
 def _mid_fwd_kernel(q_ref, k_ref, v_ref, mblk_ref, mblk_t_ref, o_ref,
-                    *, Gt: int, P: int, C: int, g: int, eps: float):
+                    *, Gt: int, P: int, C: int, g: int, eps: float, mx):
     gC = g * C
     q = q_ref[:].astype(jnp.float32).reshape(Gt * P, gC)
     k = k_ref[:].astype(jnp.float32).reshape(Gt * P, gC)
-    v = v_ref[:].astype(jnp.float32).reshape(Gt, P, gC)
+    # MXU operands at `mx` (bf16 for bf16 inputs, fp32 accumulation via
+    # preferred_element_type; normalize/softmax stay fp32 — same scheme as
+    # window_attention_grouped, where an fp32 MXU pass costs several bf16
+    # ones). fp32 inputs keep exact fp32 passes.
+    v = v_ref[:].astype(mx).reshape(Gt, P, gC)
     qn, _, _ = _norm_fwd(q, mblk_ref[:], mblk_t_ref[:], eps)
     kn, _, _ = _norm_fwd(k, mblk_ref[:], mblk_t_ref[:], eps)
-    qn = qn.reshape(Gt, P, gC)
-    kn = kn.reshape(Gt, P, gC)
+    qn = qn.astype(mx).reshape(Gt, P, gC)
+    kn = kn.astype(mx).reshape(Gt, P, gC)
     logits = jax.lax.dot_general(
         qn, kn, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)           # (Gt, gC, gC)
     e = jnp.exp(logits) * _block_mask(gC, C)[None]
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        v, attn, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        v, attn.astype(mx), dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)           # (Gt, P, gC)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _mid_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mblk_ref, mblk_t_ref,
                     dq_ref, dk_ref, dv_ref,
-                    *, Gt: int, P: int, C: int, g: int, eps: float):
+                    *, Gt: int, P: int, C: int, g: int, eps: float, mx):
     gC = g * C
     mblk, mblk_t = mblk_ref[:], mblk_t_ref[:]
     q = q_ref[:].astype(jnp.float32).reshape(Gt * P, gC)
     k = k_ref[:].astype(jnp.float32).reshape(Gt * P, gC)
-    v = v_ref[:].astype(jnp.float32).reshape(Gt, P, gC)
-    do = do_ref[:].astype(jnp.float32).reshape(Gt, P, gC)
+    v = v_ref[:].astype(mx).reshape(Gt, P, gC)
+    do = do_ref[:].astype(mx).reshape(Gt, P, gC)
 
     qn2, inv_q, sel_q = _norm_fwd(q, mblk, mblk_t, eps)
     kn2, inv_k, sel_k = _norm_fwd(k, mblk, mblk_t, eps)
-    qn = qn2.reshape(Gt, P, gC)
-    kn = kn2.reshape(Gt, P, gC)
+    qn = qn2.astype(mx).reshape(Gt, P, gC)
+    kn = kn2.astype(mx).reshape(Gt, P, gC)
 
     # forward recompute of the masked softmax (VMEM-local, never saved)
     logits = jax.lax.dot_general(
@@ -151,6 +158,7 @@ def _mid_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mblk_ref, mblk_t_ref,
         preferred_element_type=jnp.float32)
     e = jnp.exp(logits) * _block_mask(gC, C)[None]
     attn = e / jnp.sum(e, axis=-1, keepdims=True)     # S (Gt, gC, gC)
+    attn_mx = attn.astype(mx)
 
     # dS[j, j'] = sum_p dO[p, j] v[p, j']
     dS = jax.lax.dot_general(
@@ -158,11 +166,12 @@ def _mid_bwd_kernel(q_ref, k_ref, v_ref, do_ref, mblk_ref, mblk_t_ref,
         preferred_element_type=jnp.float32)
     # softmax backward (rows are per-window; S is 0 off-block so the
     # rowsum only ever counts in-block entries)
-    dL = attn * (dS - jnp.sum(attn * dS, axis=-1, keepdims=True))
+    dL = (attn * (dS - jnp.sum(attn * dS, axis=-1,
+                               keepdims=True))).astype(mx)
 
     # dv[p, j'] = sum_j S[j, j'] dO[p, j]
     dv = jax.lax.dot_general(
-        do, attn, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        do, attn_mx, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     # dqn[p, j] = sum_j' dL[j, j'] kn[p, j']
     dqn = jax.lax.dot_general(
@@ -219,11 +228,15 @@ def _launch(kernel_factory, n_in, n_out, args, G, P, gC, dtypes, tile_groups,
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _grouped_mid(q_g, k_g, v_g, C, eps, tile_groups, interpret):
+    from .window_attention_grouped import _mxu_dtype
+
     G, P, gC = q_g.shape
     g = gC // C
+    mx = _mxu_dtype(q_g.dtype, None)
     mblk = jnp.repeat(jnp.eye(g, dtype=jnp.float32), C, axis=0)
     return _launch(
-        lambda Gt: partial(_mid_fwd_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps),
+        lambda Gt: partial(_mid_fwd_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps,
+                           mx=mx),
         3, 1, (q_g, k_g, v_g, mblk, mblk.T), G, P, gC, (q_g.dtype,),
         tile_groups, interpret)
 
@@ -234,14 +247,18 @@ def _grouped_mid_fwd(q_g, k_g, v_g, C, eps, tile_groups, interpret):
 
 
 def _grouped_mid_bwd(C, eps, tile_groups, interpret, res, g_out):
+    from .window_attention_grouped import _mxu_dtype
+
     q_g, k_g, v_g = res
     G, P, gC = q_g.shape
     g = gC // C
+    mx = _mxu_dtype(q_g.dtype, None)
     # backward holds ~2x the live tiles; halve the tile depth
     tg = max(1, tile_groups // 2)
     mblk = jnp.repeat(jnp.eye(g, dtype=jnp.float32), C, axis=0)
     dq, dk, dv = _launch(
-        lambda Gt: partial(_mid_bwd_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps),
+        lambda Gt: partial(_mid_bwd_kernel, Gt=Gt, P=P, C=C, g=g, eps=eps,
+                           mx=mx),
         4, 3, (q_g, k_g, v_g, g_out, mblk, mblk.T), G, P, gC,
         (q_g.dtype,) * 3, tg, interpret)
     return dq, dk, dv

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
             mpos_ref, mpos_t_ref, brep_ref, btile_ref, msum_ref,
-            msumproj_ref, o_ref, *, P: int, C: int, eps: float):
+            msumproj_ref, o_ref, *, P: int, C: int, eps: float, mx):
     x = x_ref[:]  # (T, P*C) packed rows, position-major lanes
     qkv = jnp.dot(x, wqkv_ref[:].astype(x.dtype),
                   preferred_element_type=jnp.float32)
@@ -61,7 +61,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
     PC = P * C
     q = qkv[:, :PC]
     k = qkv[:, PC:2 * PC]
-    v = qkv[:, 2 * PC:]
+    v = qkv[:, 2 * PC:].astype(mx)
 
     def _norm(u):  # zero-safe unit L2 over each position's C lanes
         ss = jnp.dot(u * u, mpos_ref[:],
@@ -72,8 +72,15 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
         return u * jnp.dot(inv, mpos_t_ref[:],
                            preferred_element_type=jnp.float32)
 
-    qn = _norm(q)
-    kn = _norm(k)
+    # MXU operands run at `mx` (bf16 for bf16 inputs — an fp32 MXU pass
+    # costs several bf16 ones and ~60 of the matmuls below were fp32);
+    # accumulation stays fp32 via preferred_element_type, and the
+    # normalize/exp/denominator math stays fp32.
+    qn = _norm(q).astype(mx)
+    kn = _norm(k).astype(mx)
+    brep = brep_ref[:].astype(mx)    # 0/1 matrices: exact at any dtype
+    btile = btile_ref[:].astype(mx)
+    msumproj = msumproj_ref[:].astype(mx)
 
     # Lane broadcasts between (T, C) and (T, C*C), c1-major — 0/1 matmuls.
     # Implementation notes from real-hardware A/Bs (interpret mode passes
@@ -86,10 +93,12 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
     #   and fusing positions doesn't help: padding K with zeros costs
     #   exactly the utilization it buys. This bounds v3 to C <= 16 wins.
     def _rep(u):   # (T, C) -> (T, C*C): lane c1*C+c2 = u[:, c1]
-        return jnp.dot(u, brep_ref[:], preferred_element_type=jnp.float32)
+        return jnp.dot(u.astype(mx), brep,
+                       preferred_element_type=jnp.float32)
 
     def _tile(u):  # (T, C) -> (T, C*C): lane c1*C+c2 = u[:, c2]
-        return jnp.dot(u, btile_ref[:], preferred_element_type=jnp.float32)
+        return jnp.dot(u.astype(mx), btile,
+                       preferred_element_type=jnp.float32)
 
     logits = _rep(qn[:, :C]) * _tile(kn[:, :C])
     for p in range(1, P):
@@ -108,7 +117,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bproj_ref,
     # ~25% slower than bf16 pieces (register/relayout pressure).
     outs = []
     for p in range(P):
-        o_p = jnp.dot(attn * _tile(v[:, p * C:(p + 1) * C]), msumproj_ref[:],
+        o_p = jnp.dot((attn * _tile(v[:, p * C:(p + 1) * C])).astype(mx),
+                      msumproj,
                       preferred_element_type=jnp.float32)     # (T, C)
         outs.append((o_p + bproj_ref[p * C:(p + 1) * C]).astype(o_ref.dtype))
     o_ref[:] = jnp.concatenate(outs, axis=-1)                 # (T, P*C)
@@ -139,9 +149,13 @@ def _expand_weights(wqkv, bqkv, wproj, bproj, P: int, C: int):
 
 
 def _run_packed_rows(t, wqkv, bqkv, wproj, bproj, *, P: int, C: int,
-                     tile_rows: int | None, eps: float, interpret: bool):
+                     tile_rows: int | None, eps: float, interpret: bool,
+                     internal_dtype=None):
     """Kernel launch on (R, P*C) packed rows; returns (R, P*C)."""
+    from .window_attention_grouped import _mxu_dtype
+
     R = t.shape[0]
+    mx = _mxu_dtype(t.dtype, internal_dtype)
     expanded = _expand_weights(wqkv, bqkv, wproj, bproj, P, C)
 
     if tile_rows is None:
@@ -157,7 +171,7 @@ def _run_packed_rows(t, wqkv, bqkv, wproj, bproj, *, P: int, C: int,
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_kernel, P=P, C=C, eps=eps),
+        partial(_kernel, P=P, C=C, eps=eps, mx=mx),
         grid=(R // T,),
         in_specs=[
             pl.BlockSpec((T, P * C), lambda i: (i, 0),
@@ -184,7 +198,8 @@ def window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
                         window_size: int = 4,
                         tile_rows: int | None = None,
                         eps: float = 1e-12,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        internal_dtype=None):
     """Drop-in for local_attention_apply's math; NHWC in/out.
 
     x: (B, H, W, C) with H, W divisible by window_size. Designed for the
@@ -203,7 +218,8 @@ def window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
     t = x.reshape(B, nh, ws, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
     t = t.reshape(R, P * C)
     out = _run_packed_rows(t, wqkv, bqkv, wproj, bproj, P=P, C=C,
-                           tile_rows=tile_rows, eps=eps, interpret=interpret)
+                           tile_rows=tile_rows, eps=eps, interpret=interpret,
+                           internal_dtype=internal_dtype)
     out = out.reshape(B, nh, nw, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
     return out.reshape(B, H, W, C)
 
@@ -212,7 +228,8 @@ def packed_window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
                                tile_rows: int | None = None,
                                eps: float = 1e-12,
                                C: int | None = None,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               internal_dtype=None):
     """v3 kernel on an ALREADY-PACKED tensor (ops/packed.py layout).
 
     x: (B, Hp, Wp, P*C) with lane order (position, channel) — exactly
@@ -235,5 +252,5 @@ def packed_window_attention_v3(x, wqkv, bqkv, wproj, bproj, *,
     R = B * Hp * Wp
     out = _run_packed_rows(x.reshape(R, Cp), wqkv, bqkv, wproj, bproj,
                            P=P, C=C, tile_rows=tile_rows, eps=eps,
-                           interpret=interpret)
+                           interpret=interpret, internal_dtype=internal_dtype)
     return out.reshape(B, Hp, Wp, Cp)
