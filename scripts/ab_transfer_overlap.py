@@ -43,6 +43,7 @@ def main():
     dev_batches = [jax.device_put(b) for b in host_batches]
     for d in dev_batches:
         _ = np.asarray(d[0, :1, :1])  # ensure staged
+    print("staged", flush=True)
 
     def h2d_loop():
         t0 = time.perf_counter()
@@ -64,7 +65,9 @@ def main():
     pool = ThreadPoolExecutor(max_workers=2)
     for r in range(args.rounds):
         t_h2d = h2d_loop()
+        print(f"round {r}: h2d done {t_h2d:.2f}s", flush=True)
         t_d2h = d2h_loop()
+        print(f"round {r}: d2h done {t_d2h:.2f}s", flush=True)
         t0 = time.perf_counter()
         f1 = pool.submit(h2d_loop)
         f2 = pool.submit(d2h_loop)

@@ -134,12 +134,12 @@ def test_enhanced_generator_ssim_vs_torch(rng):
 
 
 def test_enhanced_generator_padded_token_grid(rng):
-    """80x80 input -> token grid 20x20, NOT divisible by the transformer's
+    """48x48 input -> token grid 12x12, NOT divisible by the transformer's
     window 8: padded attention keys must be masked (softmax mass must not
     leak to zero-pad positions in boundary windows)."""
     sd = oracle.make_enhanced_sd(rng, c=4, num_blocks=1)
     params = enhanced_generator_from_sd(sd)
-    x = np.tanh(rng.standard_normal((1, 3, 80, 80))).astype(np.float32)
+    x = np.tanh(rng.standard_normal((1, 3, 48, 48))).astype(np.float32)
     ref = oracle.enhanced_generator_forward(sd, torch.from_numpy(x)).numpy()
     out = enhanced_generator_apply(params, jnp.asarray(_nhwc(x)))
     np.testing.assert_allclose(np.asarray(out), _nhwc(ref), atol=5e-4)

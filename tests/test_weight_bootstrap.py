@@ -112,7 +112,7 @@ def _fid_scipy(fa, fb):
     mu1, mu2 = fa.mean(0), fb.mean(0)
     s1 = np.cov(fa, rowvar=False)
     s2 = np.cov(fb, rowvar=False)
-    covmean, _ = linalg.sqrtm(s1 @ s2, disp=False)
+    covmean = linalg.sqrtm(s1 @ s2)  # scipy >= 1.16: disp is deprecated
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     diff = mu1 - mu2
