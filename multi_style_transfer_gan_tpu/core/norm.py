@@ -13,6 +13,9 @@ Reference usage (see SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +36,111 @@ def instance_norm(x, *, eps=1e-5, weight=None, bias=None):
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def instance_norm_onepass(x, *, eps=1e-5):
+    """InstanceNorm2d with E[x^2]-E[x]^2 statistics — ONE read for stats.
+
+    Same math as :func:`instance_norm` up to fp32 rounding: the default
+    two-pass form (mean, then centered variance) forces XLA to read the
+    tensor twice before the normalize pass, because the second reduction
+    depends on the first. Computing sum(x) and sum(x^2) in one fused
+    reduction halves the stat-read traffic of every InstanceNorm in the
+    HBM-bound generator (13 of them). Catastrophic cancellation is a
+    non-issue at these scales: activations are O(1) with means O(0.1),
+    and both accumulations are fp32 (inputs bf16); var is clamped at 0.
+    Divergence vs the two-pass form measured at the bf16 noise floor
+    (scripts/ab_msb.py prints max|d| per shape).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    meansq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _in_act_fwd_math(x, eps, slope):
+    """One-pass IN -> (leaky-)ReLU; returns (out, xhat, rstd) in fp32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    meansq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    out = jnp.where(xhat > 0, xhat, slope * xhat)  # slope=0 -> exact ReLU
+    return out, xhat, rstd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _in_act(x, eps, slope):
+    out, _, _ = _in_act_fwd_math(x, eps, slope)
+    return out.astype(x.dtype)
+
+
+def _in_act_fwd(x, eps, slope):
+    out, xhat, rstd = _in_act_fwd_math(x, eps, slope)
+    # Residuals: xhat in the INPUT dtype (bf16 in the train fast path — one
+    # tensor instead of autodiff's x + several reduction residuals) + the
+    # tiny (B,1,1,C) rstd. The activation mask is recomputed from xhat.
+    return out.astype(x.dtype), (xhat.astype(x.dtype), rstd)
+
+
+def _in_act_bwd(eps, slope, res, dy):
+    xhat, rstd = res
+    xh = xhat.astype(jnp.float32)
+    g = dy.astype(jnp.float32)
+    g = g * jnp.where(xh > 0, 1.0, slope)  # (leaky-)ReLU backward
+    # d/dx of xhat = (x - mean)*rstd with biased-variance stats:
+    #   dx = rstd * (g - mean_HW(g) - xhat * mean_HW(g * xhat))
+    gm = jnp.mean(g, axis=(1, 2), keepdims=True)
+    gxm = jnp.mean(g * xh, axis=(1, 2), keepdims=True)
+    dx = rstd * (g - gm - xh * gxm)
+    return (dx.astype(xhat.dtype),)
+
+
+_in_act.defvjp(_in_act_fwd, _in_act_bwd)
+
+
+# Trace-time implementation switch for in_relu / in_leaky_relu:
+#   "fused"     one-pass stats + hand-written VJP (_in_act)
+#   "reference" two-pass instance_norm + plain activation, XLA autodiff
+# A/B'd on the real chip by scripts/ab_in_fused.py; parity pinned in
+# tests/test_core_parity.py. Flip the module global (or use the
+# MSTGAN_REFERENCE_IN=1 env var read at import) before TRACING — jitted
+# programs bake the choice in.
+IN_ACT_IMPL = "reference" if os.environ.get("MSTGAN_REFERENCE_IN") == "1" \
+    else "fused"
+
+
+def in_relu(x, *, eps=1e-5):
+    """Fused ``relu(instance_norm(x))`` with a hand-written VJP.
+
+    Forward: one-pass fp32 stats (see :func:`instance_norm_onepass`) +
+    normalize + ReLU — XLA fuses this into one stats read and one
+    normalize pass. Backward: ONE elementwise pass + two fused reductions
+    over (dy, xhat) instead of autodiff's mean/var chain-rule graph, and
+    the only full-tensor residual is xhat (autodiff additionally keeps x
+    and the centered intermediate alive). This is the generator's
+    ubiquitous norm+activation (13 sites) — the conv/IN backward stack the
+    round-2 train profile names as the residual (docs/PERFORMANCE.md).
+
+    Dtype gate (same convention as the attention kernels' parity split):
+    fp32 inputs take the reference two-pass + autodiff path — the one-pass
+    stats compound to ~2e-3 across the generator's 13 INs, above the 5e-4
+    torch-import parity bar — while bf16/f16 inputs (the production
+    compute dtype, quantization floor ~8e-3) take the fused path.
+    """
+    if IN_ACT_IMPL == "fused" and x.dtype != jnp.float32:
+        return _in_act(x, eps, 0.0)
+    return jnp.maximum(instance_norm(x, eps=eps), 0)
+
+
+def in_leaky_relu(x, slope=0.2, *, eps=1e-5):
+    """Fused ``leaky_relu(instance_norm(x), slope)`` — discriminator flavor."""
+    if IN_ACT_IMPL == "fused" and x.dtype != jnp.float32:
+        return _in_act(x, eps, slope)
+    y = instance_norm(x, eps=eps)
+    return jnp.where(y > 0, y, slope * y)
 
 
 def batch_norm(x, running_mean, running_var, weight, bias, *,

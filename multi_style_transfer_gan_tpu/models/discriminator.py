@@ -30,7 +30,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core import conv2d, instance_norm, leaky_relu, spectral_normalize
+from ..core import conv2d, leaky_relu, spectral_normalize
+from ..core.norm import in_leaky_relu
 from .init_utils import torch_default_conv
 
 _CONVS = (  # name, k, stride, pad, cin_mult, cout_mult (x channels; 3 = RGB in)
@@ -86,13 +87,13 @@ def discriminator_apply(params, sn_state, x, *, update_sn: bool = True):
                       padding=padding)
 
     h = leaky_relu(snconv(x, "main.0"), 0.2)
-    h = leaky_relu(instance_norm(snconv(h, "main.2")), 0.2)
-    h = leaky_relu(instance_norm(snconv(h, "main.5")), 0.2)
-    feats = leaky_relu(instance_norm(snconv(h, "main.8")), 0.2)
+    h = in_leaky_relu(snconv(h, "main.2"), 0.2)
+    h = in_leaky_relu(snconv(h, "main.5"), 0.2)
+    feats = in_leaky_relu(snconv(h, "main.8"), 0.2)
 
     score = snconv(feats, "batch_head.0")            # (B, h-1, w-1, 1)
     score = jnp.mean(score, axis=(1, 2, 3))          # GAP -> (B,)
 
-    s = leaky_relu(instance_norm(snconv(feats, "structure_head.0")), 0.2)
+    s = in_leaky_relu(snconv(feats, "structure_head.0"), 0.2)
     struct_map = snconv(s, "structure_head.3")       # (B, h-1, w-1, 1)
     return score, struct_map, new_sn

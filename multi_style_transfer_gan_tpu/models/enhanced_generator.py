@@ -39,7 +39,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core import conv2d, conv_transpose2d, linear, instance_norm, relu, tanh
+from ..core import conv2d, conv_transpose2d, linear, relu, tanh
+from ..core.norm import in_relu, instance_norm
 from ..sharding_spec import ShardedFastAttention
 from .init_utils import kaiming_conv, torch_default_linear
 from .structural_transformer import (
@@ -166,9 +167,18 @@ def local_attention_apply(params, x, *, prefix: str, window_size: int = 4,
 
 def _attention_math(x, wqkv, bqkv, wproj, bproj, *, window_size, eps):
     """The XLA einsum formulation (reference numerics, autodiff-capable)."""
-    B, H, W, C = x.shape
-    ws = window_size
     qkv = conv2d(x, wqkv, bqkv)  # (B, H, W, 3C)
+    out = _attention_windows(qkv, window_size=window_size, eps=eps)
+    return conv2d(out, wproj, bproj)
+
+
+def _attention_windows(qkv, *, window_size, eps):
+    """Window partition -> channel attention -> merge, from a precomputed
+    qkv map. Shared by the XLA parity path and the int8 engine (which
+    supplies its own quantized qkv/proj convs around it)."""
+    B, H, W, C3 = qkv.shape
+    C = C3 // 3
+    ws = window_size
     nh, nw = H // ws, W // ws
     t = qkv.reshape(B, nh, ws, nw, ws, 3 * C)
     t = t.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
@@ -186,11 +196,11 @@ def _attention_math(x, wqkv, bqkv, wproj, bproj, *, window_size, eps):
     attn = jax.nn.softmax(attn, axis=-1)
     # out[t, c1] = sum_c2 attn[c1, c2] * v[t, c2]
     out = jnp.einsum("bcd,btd->btc", attn.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+                     preferred_element_type=jnp.float32).astype(qkv.dtype)
 
     out = out.reshape(B, nh, nw, ws, ws, C)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
-    return conv2d(out, wproj, bproj)
+    return out
 
 
 def local_attention_init(key, channels, dtype=jnp.float32):
@@ -223,10 +233,11 @@ def multi_scale_block_apply(params, x, *, prefix: str):
                            padding=p, dilation=d))
     # InstanceNorm is per-channel, so IN+ReLU commutes with channel concat:
     # one pass over the concatenated tensor instead of four per-branch passes
-    # (exact same numbers, fewer HBM round trips).
-    h = relu(instance_norm(jnp.concatenate(outs, axis=-1)))
+    # (exact same numbers, fewer HBM round trips). in_relu = one-pass stats
+    # + hand-written VJP (core.norm).
+    h = in_relu(jnp.concatenate(outs, axis=-1))
     h = conv2d(h, g("fusion.0.weight"), g("fusion.0.bias"))
-    return relu(instance_norm(h)) + x
+    return in_relu(h) + x
 
 
 def multi_scale_block_init(key, channels, dtype=jnp.float32):
@@ -330,7 +341,7 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
         def f(params, h):
             h = conv2d(h, params[f"{name}.0.weight"],
                        params[f"{name}.0.bias"], stride=2, padding=1)
-            h = relu(instance_norm(h))
+            h = in_relu(h)
             h = local_attention_apply(params, h, prefix=f"{name}.3.",
                                       window_size=window_size,
                                       fast=fast_attention)
@@ -347,7 +358,7 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
                 h = conv_transpose2d(h, params[f"{name}.0.weight"],
                                      params[f"{name}.0.bias"], stride=2,
                                      padding=1)
-            h = relu(instance_norm(h))
+            h = in_relu(h)
             h = local_attention_apply(params, h, prefix=f"{name}.3.",
                                       window_size=window_size,
                                       fast=fast_attention)
@@ -361,9 +372,9 @@ def enhanced_generator_apply(params, x, *, window_size: int = 4,
     # plus the repacked kernel's 2.9x redundant FLOPs outweigh the dense-lane
     # win when the engine immediately unpacks (docs/PERFORMANCE.md; the
     # packed ENGINE avoids this by staying packed end-to-end).
-    h = relu(instance_norm(
+    h = in_relu(
         conv2d(x, params["initial.0.weight"], params["initial.0.bias"],
-               padding=3)))
+               padding=3))
 
     for name in ("down1", "down2"):
         h = down_stage(name)(params, h)

@@ -1,48 +1,67 @@
-"""XLA flag sweep: flagship inference pipeline + CycleGAN train step.
+"""XLA compiler-option sweep: flagship inference + CycleGAN train step.
 
-XLA_FLAGS is process-level, so the parent spawns one CHILD per variant
-(same script, --child) and collects its one-line result. Variants worth
-testing on v5e (round-3 candidates for VERDICT item 3's conv/IN backward
+On this deployment ``XLA_FLAGS`` is parsed by the CLIENT-side CPU jaxlib,
+which fatals on TPU-only flags (parse_flags_from_env checks the local
+binary's registry). The working channel is per-compile
+``compiled = fn.lower(args).compile(compiler_options={...})`` — the
+options ride the compile request to the remote TPU compiler. This also
+lets every variant live in ONE process, so timing rounds interleave
+properly on the time-shared chip (the earlier subprocess design could
+not).
+
+Variants (round-3 candidates for VERDICT item 3's conv/IN backward
 residual):
-
-  base      : no extra flags (what every number so far was measured with)
-  vmem64    : --xla_tpu_scoped_vmem_limit_kib=65536  (bigger fusions)
-  vmem128   : --xla_tpu_scoped_vmem_limit_kib=131072
-  no_lhs    : --xla_tpu_enable_latency_hiding_scheduler=false
-  flash     : --xla_tpu_enable_flash_attention=false (rules out a
-              mis-kicked pattern match on our attention einsums)
-
-Each child interleaves nothing (one variant per process by construction);
-cross-variant comparability relies on the min-over-rounds discipline and
-the variants being re-runnable: treat small deltas (<5%) as noise, rerun
-winners head-to-head before believing them.
+  base      : no options (what every number so far was measured with)
+  vmem64/128: --xla_tpu_scoped_vmem_limit_kib — bigger fusions
+  no_lhs    : latency-hiding scheduler off
 
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/ab_xla_flags.py \
       [--what inference|train|both]
 """
 
 import argparse
-import json
+import functools
 import os
-import subprocess
 import sys
 import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "base": "",
-    "vmem64": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem128": "--xla_tpu_scoped_vmem_limit_kib=131072",
-    "no_lhs": "--xla_tpu_enable_latency_hiding_scheduler=false",
+    "base": {},
+    "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    "vmem128": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    "no_lhs": {"xla_tpu_enable_latency_hiding_scheduler": "false"},
 }
+ROUNDS, ITERS = 5, 3
 
 
-def child_inference(rounds=4, iters=4):
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
+def _bench(compiled_fns, args_of, drain, label, unit_of):
+    times = {n: float("inf") for n in compiled_fns}
+    for _ in range(ROUNDS):
+        for name, fn in compiled_fns.items():  # interleaved rounds
+            out = None
+            for _ in range(ITERS):
+                out = fn(*args_of(name, out))
+            drain(out)
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = fn(*args_of(name, out))
+            drain(out)
+            times[name] = min(times[name],
+                              (time.perf_counter() - t0) / ITERS)
+    base = times.get("base", float("nan"))
+    for name, t in times.items():
+        print(f"{label} {name:8s} {t * 1e3:7.1f} ms  {unit_of(t)}  "
+              f"({base / t:.3f}x base)", flush=True)
 
+
+def sweep_inference():
     from multi_style_transfer_gan_tpu.models import (
         enhanced_generator_apply, enhanced_generator_init,
     )
@@ -53,7 +72,6 @@ def child_inference(rounds=4, iters=4):
     params = enhanced_generator_init(jax.random.PRNGKey(0), channels=16,
                                      num_transformer_blocks=1)
 
-    @jax.jit
     def pipeline(params, imgs_u8):
         x = to_model_range(imgs_u8).astype(jnp.bfloat16)
         y = enhanced_generator_apply(params, x, fast_attention=True)
@@ -63,26 +81,21 @@ def child_inference(rounds=4, iters=4):
     rng = np.random.default_rng(0)
     batch = jax.device_put(rng.integers(0, 256, (96, 512, 512, 3),
                                         dtype=np.uint8))
-    _ = np.asarray(pipeline(params, batch)[0, :1, :1])
-    best = float("inf")
-    for _ in range(rounds):
-        o = None
-        for _ in range(iters):
-            o = pipeline(params, batch)
-        _ = np.asarray(o[0, :1, :1])  # drain
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            o = pipeline(params, batch)
-        _ = np.asarray(o[0, :1, :1])
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return {"ms": round(best, 1), "img_s": round(96 / best * 1e3, 1)}
+    lowered = jax.jit(pipeline).lower(params, batch)
+    fns = {}
+    for name, opts in VARIANTS.items():
+        try:
+            c = lowered.compile(compiler_options=opts)
+            _ = np.asarray(c(params, batch)[0, :1, :1])
+            fns[name] = c
+        except Exception as e:
+            print(f"inference {name} failed: {str(e)[:120]}", flush=True)
+    _bench(fns, lambda n, o: (params, batch),
+           lambda o: np.asarray(o[0, :1, :1]),
+           "inference", lambda t: f"{96 / t:7.1f} img/s")
 
 
-def child_train(rounds=4, steps=3):
-    import functools
-    import jax
-    import jax.numpy as jnp
-
+def sweep_train():
     from multi_style_transfer_gan_tpu.train.cyclegan import (
         cyclegan_init_state, cyclegan_train_step, make_optimizers,
     )
@@ -93,59 +106,43 @@ def child_train(rounds=4, steps=3):
     ka, kb = jax.random.split(jax.random.PRNGKey(1))
     ra = jax.random.uniform(ka, (8, 256, 256, 3), minval=-1.0, maxval=1.0)
     rb = jax.random.uniform(kb, (8, 256, 256, 3), minval=-1.0, maxval=1.0)
-    step = jax.jit(functools.partial(
-        cyclegan_train_step, g_tx=g_tx, d_tx=d_tx,
-        compute_dtype=jnp.bfloat16, remat=False, fast_attention=True))
+    step = functools.partial(cyclegan_train_step, g_tx=g_tx, d_tx=d_tx,
+                             compute_dtype=jnp.bfloat16, remat=False,
+                             fast_attention=True)
+    # One plain step first: the initial state's spectral-norm v is None and
+    # becomes an array after one power iteration — lower on the
+    # structurally-stable post-step state so it can be threaded back in.
+    state, _ = jax.jit(step)(state, ra, rb)
+    lowered = jax.jit(step).lower(state, ra, rb)
+    fns = {}
+    for name, opts in VARIANTS.items():
+        try:
+            c = lowered.compile(compiler_options=opts)
+            _, losses = c(state, ra, rb)
+            _ = float(losses["g_loss"])
+            fns[name] = c
+        except Exception as e:
+            print(f"train {name} failed: {str(e)[:120]}", flush=True)
 
-    s, losses = step(state, ra, rb)
-    _ = float(losses["g_loss"])
-    best = float("inf")
-    for _ in range(rounds):
-        s = state
-        s, losses = step(s, ra, rb)
-        _ = float(losses["g_loss"])  # drain
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            s, losses = step(s, ra, rb)
-        _ = float(losses["g_loss"])
-        best = min(best, (time.perf_counter() - t0) / steps * 1e3)
-    return {"ms_step": round(best, 1)}
+    def args_of(name, out):
+        return ((state, ra, rb) if out is None
+                else (out[0], ra, rb))  # thread the state like a real loop
+
+    _bench(fns, args_of, lambda o: float(o[1]["g_loss"]),
+           "train", lambda t: f"{8 / t:7.1f} pairs/s")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", choices=["inference", "train", "both"],
                     default="both")
-    ap.add_argument("--child", choices=["inference", "train"], default=None)
     args = ap.parse_args()
-
-    if args.child:
-        from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
-        enable_compilation_cache()
-        res = child_inference() if args.child == "inference" else child_train()
-        print("RESULT " + json.dumps(res), flush=True)
-        return
-
-    whats = ["inference", "train"] if args.what == "both" else [args.what]
-    for what in whats:
-        for name, flags in VARIANTS.items():
-            env = dict(os.environ)
-            base = env.get("XLA_FLAGS", "")
-            env["XLA_FLAGS"] = (base + " " + flags).strip()
-            t0 = time.time()
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--child", what],
-                capture_output=True, text=True, env=env, timeout=1800)
-            out = [ln for ln in r.stdout.splitlines()
-                   if ln.startswith("RESULT ")]
-            if out:
-                print(f"{what:9s} {name:8s} {out[0][7:]}  "
-                      f"(wall {time.time() - t0:.0f}s)", flush=True)
-            else:
-                tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
-                print(f"{what:9s} {name:8s} FAILED rc={r.returncode}: "
-                      f"{' | '.join(tail)[:200]}", flush=True)
+    from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    if args.what in ("inference", "both"):
+        sweep_inference()
+    if args.what in ("train", "both"):
+        sweep_train()
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from multi_style_transfer_gan_tpu.core import (
@@ -85,6 +86,64 @@ def test_instance_norm_matches_torch(rng):
     out = instance_norm(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), _nhwc(ref.numpy()),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_instance_norm_onepass_matches_twopass(rng):
+    """E[x^2]-E[x]^2 stats variant: same math as the two-pass form.
+
+    Includes the worst cancellation case (mean >> std): divergence must
+    stay at/below one bf16 ulp of the O(1) normalized output."""
+    from multi_style_transfer_gan_tpu.core.norm import instance_norm_onepass
+
+    # fp32 error model: |d| ~ (mean^2/var) * eps_fp32 * |xhat| — negligible
+    # at realistic activation scales, ~3e-2 at the pathological
+    # |mean|/std=200 case (which no conv output exhibits).
+    for scale, shift, atol in [(1.0, 0.0, 1e-3), (5.0, 3.0, 1e-3),
+                               (0.01, -2.0, 6e-2)]:
+        x = (rng.standard_normal((2, 16, 16, 8), dtype=np.float32)
+             * scale + shift)
+        a = np.asarray(instance_norm(jnp.asarray(x)))
+        b = np.asarray(instance_norm_onepass(jnp.asarray(x)))
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        a16 = np.asarray(instance_norm(xb), np.float32)
+        b16 = np.asarray(instance_norm_onepass(xb), np.float32)
+        np.testing.assert_allclose(b16, a16, rtol=0, atol=max(atol, 2e-2))
+    # all-zero plane must stay zero (no NaN from var=0)
+    z = np.asarray(instance_norm_onepass(jnp.zeros((1, 8, 8, 4))))
+    assert np.all(np.isfinite(z)) and np.abs(z).max() == 0.0
+
+
+def test_in_relu_fused_gradients_match_autodiff(rng):
+    """core.norm._in_act's hand-written VJP == XLA autodiff of the
+    unfused relu(instance_norm(x)) / leaky_relu(instance_norm(x))."""
+    from multi_style_transfer_gan_tpu.core import norm as cn
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 6), dtype=np.float32)
+                    * 1.7 + 0.4)
+
+    def ref_relu(v):
+        return jnp.sum(jnp.sin(jnp.maximum(instance_norm(v), 0) * 3))
+
+    def fused_relu(v):
+        return jnp.sum(jnp.sin(cn._in_act(v, 1e-5, 0.0) * 3))
+
+    ga, gb = jax.grad(ref_relu)(x), jax.grad(fused_relu)(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=1e-4, atol=1e-5)
+
+    def ref_leaky(v):
+        y = instance_norm(v)
+        y = jnp.where(y > 0, y, 0.2 * y)
+        return jnp.sum(jnp.cos(y) * y)
+
+    def fused_leaky(v):
+        y = cn._in_act(v, 1e-5, 0.2)
+        return jnp.sum(jnp.cos(y) * y)
+
+    ga, gb = jax.grad(ref_leaky)(x), jax.grad(fused_leaky)(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_batch_norm_eval_matches_torch(rng):
