@@ -13,8 +13,11 @@ def main(argv=None):
     p.add_argument("--test_skip", action="store_true",
                    help="blend output with input at 50/30/10%%")
     p.add_argument("--size", type=int, default=256)
-    p.add_argument("--precision", choices=["default", "high", "highest"],
-                   default="default")
+    p.add_argument("--precision",
+                   choices=["default", "high", "highest", "int8"],
+                   default="default",
+                   help="'int8' = post-training-quantized serving engine "
+                        "(enhanced models; models/quantized_generator.py)")
     p.add_argument("--fast_attention", action="store_true",
                    help="Pallas window kernels (with --spatial they run "
                         "per height shard via shard_map)")

@@ -42,7 +42,8 @@ def main(argv=None):
                         "requests get 503)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--fast_attention", action="store_true")
-    p.add_argument("--engine", choices=["nhwc", "packed"], default="nhwc")
+    p.add_argument("--engine", choices=["nhwc", "packed", "int8"],
+                   default="nhwc")
     p.add_argument("--precision", choices=["default", "high", "highest"],
                    default="default")
     args = p.parse_args(argv)

@@ -139,9 +139,12 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
     path (~2x on the MXU; the classical-CV post chain stays fp32 either way).
     fast_attention: use the fused Pallas window-attention kernels (enhanced
     models only; falls back automatically if it fails to compile).
-    engine: 'nhwc' (default) or 'packed' — the space-to-depth lane-dense
+    engine: 'nhwc' (default), 'packed' — the space-to-depth lane-dense
     forward (models/packed_generator.py; enhanced models only, canvas
-    divisible by 32, exact same math).
+    divisible by 32, exact same math) — or 'int8', the post-training-
+    quantized serving engine (models/quantized_generator.py; enhanced
+    models only, approximate — quality measured by
+    scripts/ab_int8_engine.py).
     """
 
     def run(params, batch_u8):
@@ -171,6 +174,13 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
         run_params = pack_enhanced_generator_params(model.params)
         model_forward = partial(packed_enhanced_generator_apply,
                                 fast_attention=fast_attention)
+    elif engine == "int8":
+        from ..models.quantized_generator import (
+            prepare_int8_model, quantized_enhanced_generator_apply,
+        )
+
+        run_params = prepare_int8_model(model.params)
+        model_forward = quantized_enhanced_generator_apply
     elif fast_attention:
         model_forward = partial(enhanced_generator_apply,
                                 fast_attention=True)
@@ -238,7 +248,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         local_batch_size(batch_size, mesh)  # validates divisibility
         batch_sharding = data_sharding(mesh, 4)
 
-    if engine == "packed" and model.kind != "enhanced":
+    if engine in ("packed", "int8") and model.kind != "enhanced":
         engine = "nhwc"
     # Build/probe candidate programs best-first; the remote compile service
     # fails sporadically, so degrade (packed -> nhwc, fast -> XLA attention)
@@ -247,7 +257,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     # The probe input gets the run's exact sharding so the probe compile IS
     # the run compile (persistent cache + same program).
     configs = [(engine, fast_attention)]
-    if engine == "packed":
+    if engine in ("packed", "int8"):
         configs.append(("nhwc", fast_attention))
     if fast_attention:
         configs.append(("nhwc", False))

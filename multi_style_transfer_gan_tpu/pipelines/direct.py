@@ -48,8 +48,13 @@ def transform_image(model: LoadedModel, image_path, output_path=None,
     x = resize(jnp.asarray(img, jnp.float32) / 255.0, (size, size))
     x = to_model_range(x)[None]
     apply = model.apply
-    fast = fast_attention and model.kind == "enhanced"
-    if spatial and spatial > 1:
+    # int8 models already carry their quantized program; the fast/spatial
+    # rebuilds below would silently swap back to the bf16 forward
+    fast = (fast_attention and model.kind == "enhanced"
+            and model.precision != "int8")
+    if model.precision == "int8":
+        pass
+    elif spatial and spatial > 1:
         from ..parallel import spatial_apply
         # fast keeps the Pallas window kernels per height shard
         # (shard_map; sharding_spec.ShardedFastAttention)
@@ -101,7 +106,7 @@ def test_different_sizes(model: LoadedModel, image_path, output_dir,
 
 def try_skip_connections(model: LoadedModel, image_path, output_dir,
                          blends=(0.5, 0.3, 0.1), size: int = 256,
-                         spatial: int = 0):
+                         spatial: int = 0, fast_attention: bool = False):
     """Input-blend ablation (direct_transform.py:120-199): output blended
     with the resized input at the given original-image ratios."""
     import matplotlib

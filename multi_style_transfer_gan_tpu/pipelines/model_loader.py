@@ -6,7 +6,11 @@ returns a jitted apply function with a precision policy:
 
 - ``precision='default'``: TPU-native bf16 MXU passes (throughput mode),
 - ``precision='highest'``: fp32 MXU arithmetic — required to hit the
-  SSIM>=0.99 bit-parity target against PyTorch reference outputs.
+  SSIM>=0.99 bit-parity target against PyTorch reference outputs,
+- ``precision='int8'``: post-training-quantized serving engine (enhanced
+  models only; models/quantized_generator.py — int8 conv MXU passes with
+  InstanceNorm-absorbed scales, calibrated on a deterministic synthetic
+  batch, or pass ``calib_batches`` for data-true calibration).
 """
 
 from __future__ import annotations
@@ -49,7 +53,8 @@ def _sniff_direction(ckpt, prefer: str | None = None) -> str | None:
 
 
 def load_generator(path, prefer: str | None = None,
-                   precision: str = "default") -> LoadedModel:
+                   precision: str = "default",
+                   calib_batches=None) -> LoadedModel:
     """Load any reference-flavor generator checkpoint, auto-detecting
     model type and width (direct_transform.py:10-42 semantics: tries
     G_AB_state_dict first, then G_BA, then a raw state dict)."""
@@ -66,6 +71,21 @@ def load_generator(path, prefer: str | None = None,
         fwd = enhanced_generator_apply
     else:
         raise ValueError(f"checkpoint at {path} is a {kind}, not a generator")
+
+    if precision == "int8":
+        if kind != "enhanced":
+            raise ValueError("precision='int8' supports enhanced models only")
+        from ..models.quantized_generator import (
+            prepare_int8_model, quantized_enhanced_generator_apply,
+        )
+
+        qp = prepare_int8_model(params, calib_batches)
+        return LoadedModel(kind=kind, channels=channels, direction=direction,
+                           params=params,
+                           apply=partial(
+                               jax.jit(quantized_enhanced_generator_apply),
+                               qp),
+                           precision=precision)
 
     jax_prec = {"default": None, "high": "high", "highest": "highest"}[precision]
 

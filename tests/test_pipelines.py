@@ -193,6 +193,35 @@ def test_batch_packed_engine_matches_nhwc(small_ckpts, image_dir, tmp_path):
         assert np.abs(ia - ib).max() <= 2  # fp reassociation only
 
 
+def test_batch_int8_engine_runs(small_ckpts, image_dir, tmp_path):
+    """engine='int8' (PTQ serving engine) processes the folder; outputs are
+    approximate (per-stage ~1% quant noise) but must stay plausible images
+    correlated with the NHWC engine's."""
+    model = load_generator(small_ckpts / "G_AB_epoch_200.pth")
+    a = batch_process(model, image_dir, tmp_path / "nhwc", mode="cyclegan",
+                      direction="monet2photo", batch_size=2)
+    b = batch_process(model, image_dir, tmp_path / "int8", mode="cyclegan",
+                      direction="monet2photo", batch_size=2, engine="int8")
+    assert a["processed"] == b["processed"] == 3
+    for name in os.listdir(tmp_path / "nhwc" / "cyclegan_monet2photo"):
+        ia = np.asarray(Image.open(
+            tmp_path / "nhwc" / "cyclegan_monet2photo" / name), np.float32)
+        ib = np.asarray(Image.open(
+            tmp_path / "int8" / "cyclegan_monet2photo" / name), np.float32)
+        # random-init network = chaotic worst case; bound loosely
+        assert np.abs(ia - ib).mean() < 64, np.abs(ia - ib).mean()
+
+
+def test_load_generator_int8_precision(small_ckpts):
+    """precision='int8' builds the quantized apply through the loader."""
+    model = load_generator(small_ckpts / "G_AB_epoch_200.pth",
+                           precision="int8")
+    assert model.precision == "int8"
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out = np.asarray(model.apply(x), np.float32)
+    assert out.shape == (1, 64, 64, 3) and np.isfinite(out).all()
+
+
 def test_batch_custom_canvas(small_ckpts, image_dir, tmp_path):
     """--canvas 64: outputs land at original sizes regardless of canvas."""
     model = load_generator(small_ckpts / "cyclegan_epoch_200.pth",
