@@ -34,7 +34,21 @@ def main(argv=None):
         try_skip_connections,
     )
 
-    model = load_generator(args.model, precision=args.precision)
+    calib = None
+    if args.precision == "int8":
+        # data-true PTQ calibration: activation scales from THIS image
+        import numpy as np
+        from PIL import Image
+
+        import jax.numpy as jnp
+
+        from ..ops import resize, to_model_range
+
+        img = np.asarray(Image.open(args.image).convert("RGB"), np.uint8)
+        x01 = resize(jnp.asarray(img, jnp.float32) / 255.0, (256, 256))
+        calib = [to_model_range(x01)[None]]
+    model = load_generator(args.model, precision=args.precision,
+                           calib_batches=calib)
     print(f"loaded {model.kind} generator (channels={model.channels}, "
           f"direction={model.direction})")
     import os

@@ -132,7 +132,7 @@ def _postprocess(canvas_u8f, styled_u8f, mode, strength, detail,
 def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
                   strength: float, detail: float, enhance_colors: bool,
                   smooth: bool, *, compute_dtype=None, fast_attention=False,
-                  engine: str = "nhwc"):
+                  engine: str = "nhwc", calib_batches=None):
     """Build the single jitted uint8->uint8 program for this configuration.
 
     compute_dtype: generator activation dtype; jnp.bfloat16 is the TPU fast
@@ -179,7 +179,7 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
             prepare_int8_model, quantized_enhanced_generator_apply,
         )
 
-        run_params = prepare_int8_model(model.params)
+        run_params = prepare_int8_model(model.params, calib_batches)
         model_forward = quantized_enhanced_generator_apply
     elif fast_attention:
         model_forward = partial(enhanced_generator_apply,
@@ -256,6 +256,18 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     # engine's weight repack is itself a jitted (remotely compiled) program.
     # The probe input gets the run's exact sharding so the probe compile IS
     # the run compile (persistent cache + same program).
+    calib = None
+    if engine == "int8":
+        # Data-true PTQ calibration: activation scales from the folder's own
+        # first images (decoded at the run's canvas), not a synthetic batch.
+        try:
+            head = [_decode_canvas(f, canvas) for f in files[:8]]
+            calib = [to_model_range(jnp.asarray(
+                np.stack([h[0] for h in head])))]
+        except Exception as e:
+            print(f"int8 calibration on input images failed ({str(e)[:80]});"
+                  " using the synthetic default")
+
     configs = [(engine, fast_attention)]
     if engine in ("packed", "int8"):
         configs.append(("nhwc", fast_attention))
@@ -268,7 +280,8 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
             run_fn = make_batch_fn(model, mode, local_style_mode, strength,
                                    detail, enhance_colors, smooth,
                                    compute_dtype=compute_dtype,
-                                   fast_attention=fast, engine=eng)
+                                   fast_attention=fast, engine=eng,
+                                   calib_batches=calib)
             if last:
                 break  # last resort: let a real failure surface in the run
             probe = np.zeros((batch_size, canvas, canvas, 3), np.uint8)
@@ -349,6 +362,36 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     # roofline (scripts/ab_host_io.py).
     fetch_pool = ThreadPoolExecutor(max_workers=1)
 
+    # Decode + H2D also get their own thread (bounded depth 2): H2D of
+    # batch N+1 then overlaps D2H of batch N — the two directions DO
+    # multiplex when issued from separate threads (round-3 re-measure,
+    # scripts/ab_transfer_overlap.py: serial-sum 8.0s vs concurrent 3.3s
+    # for the same payloads; the round-2 "transfers serialize" finding
+    # held only within one thread).
+    import queue as _queue
+    import threading as _threading
+
+    def _prefetched(gen, depth=2):
+        q = _queue.Queue(maxsize=depth)
+        done = object()
+
+        def worker():
+            try:
+                for item in gen:
+                    q.put(item)
+                q.put(done)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
+
+        _threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def save_batch(host, chunk, sizes):
         """Encode one fetched batch to disk; returns the count written.
         Runs on save_pool so the fetch thread goes straight back to D2H."""
@@ -375,7 +418,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
 
     try:
         drains = []
-        for chunk, sizes, dev_batch in batches():
+        for chunk, sizes, dev_batch in _prefetched(batches()):
             dev_out = run_fn(dev_batch)  # async dispatch
             drains.append(fetch_pool.submit(drain, (chunk, sizes, dev_out)))
             if len(drains) > 2:  # bound in-flight device outputs (HBM)

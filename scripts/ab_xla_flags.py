@@ -136,7 +136,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", choices=["inference", "train", "both"],
                     default="both")
+    ap.add_argument("--variants", type=str, default=None,
+                    help="comma-separated subset (e.g. base,vmem64) for "
+                         "focused head-to-head reruns")
     args = ap.parse_args()
+    if args.variants:
+        keep = set(args.variants.split(","))
+        for k in list(VARIANTS):
+            if k not in keep:
+                del VARIANTS[k]
     from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     if args.what in ("inference", "both"):

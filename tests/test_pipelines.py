@@ -193,6 +193,7 @@ def test_batch_packed_engine_matches_nhwc(small_ckpts, image_dir, tmp_path):
         assert np.abs(ia - ib).max() <= 2  # fp reassociation only
 
 
+@pytest.mark.slow
 def test_batch_int8_engine_runs(small_ckpts, image_dir, tmp_path):
     """engine='int8' (PTQ serving engine) processes the folder; outputs are
     approximate (per-stage ~1% quant noise) but must stay plausible images

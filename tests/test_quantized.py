@@ -101,6 +101,7 @@ def test_prepare_and_forward_shapes(rng):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.slow
 def test_int8_divergence_within_chaos_budget(rng):
     """Whole-forward int8-vs-fp32 divergence on the random-init network,
     bounded relative to the SAME network's bf16-vs-fp32 divergence (the
