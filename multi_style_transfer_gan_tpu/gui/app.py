@@ -40,8 +40,12 @@ OUTPUT_DIR = "output"
 class ModelManager:
     """Loads the up-to-4 models the GUI uses (gan_login_gui.py:119-278)."""
 
-    def __init__(self, models_dir=MODELS_DIR):
+    def __init__(self, models_dir=MODELS_DIR, precision="default"):
+        # precision: 'default' (bf16 throughput) | 'highest' (torch parity)
+        # | 'int8' (PTQ serving engine; enhanced models only — the plain
+        # CycleGAN pair falls back to 'default' automatically)
         self.models_dir = models_dir
+        self.precision = precision
         self.enhanced_ab = None
         self.enhanced_ba = None
         self.cyclegan_ab = None
@@ -62,8 +66,15 @@ class ModelManager:
                 log(f"model missing: {path}")
                 continue
             try:
-                setattr(self, attr, load_generator(path, prefer=prefer))
-                log(f"loaded {attr} from {name}")
+                try:
+                    m = load_generator(path, prefer=prefer,
+                                       precision=self.precision)
+                except ValueError:
+                    # int8 supports enhanced models only; plain falls back
+                    m = load_generator(path, prefer=prefer)
+                setattr(self, attr, m)
+                log(f"loaded {attr} from {name} "
+                    f"(precision={getattr(m, 'precision', 'default')})")
             except Exception as e:  # tolerant like the reference (:214-245)
                 log(f"failed to load {attr}: {e}")
 
@@ -228,6 +239,7 @@ def model_info_text(manager) -> str:
 
 
 def main():
+    import os as _os
     import tkinter as tk
     from tkinter import filedialog, messagebox, ttk
 
@@ -237,7 +249,10 @@ def main():
     root = tk.Tk()
     root.title("TPU style transfer")
     root.geometry("1100x760")
-    manager = ModelManager()
+    # MSTGAN_GUI_PRECISION=int8 serves the enhanced models through the PTQ
+    # engine (models/quantized_generator.py); default stays bf16
+    manager = ModelManager(
+        precision=_os.environ.get("MSTGAN_GUI_PRECISION", "default"))
     state = {"user": None, "busy": False}
 
     # ---------------- login frame ----------------

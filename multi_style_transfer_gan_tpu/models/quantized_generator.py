@@ -12,15 +12,15 @@ InstanceNorm): **InstanceNorm is exactly invariant to per-channel affine
 maps** — IN(s*y + b) == IN(y) for per-(channel) s>0, b, because the mean
 subtraction removes b and the variance division removes s. So for every
 conv -> IN -> act chain the int32 accumulator feeds IN *directly*: the
-per-output-channel weight scale, the per-tensor input scale AND the conv
-bias are all absorbed, with zero dequantization arithmetic and zero
-extra error. Only three conv families need real dequant (+bias):
-  - qkv 1x1 (feeds L2-normalize / the raw v values),
-  - proj 1x1 (feeds the MSB residual path),
-  - the 7x7 output conv (feeds tanh).
-The attention einsums, style encoder and transformer block stay bf16
-(they are not conv-traffic-bound; the transformer has its own fused
-Pallas kernel).
+per-output-channel weight scale, the per-channel input scale AND the
+conv bias are all absorbed, with zero dequantization arithmetic and zero
+extra error. Only the 7x7 output conv (feeding tanh) dequantizes.
+
+The attention module (qkv/proj + window einsum or Pallas kernels), the
+transformer block and the style encoder stay bf16 and run the SAME
+fast-attention dispatch as the NHWC engine: an earlier all-conv-int8
+variant lost 0.46x whole-pipeline because quantized qkv/proj forced the
+plain einsum attention path (docs/PERFORMANCE.md round-3 int8 section).
 
 Quantization scheme (standard TPU serving PTQ):
   - weights: symmetric per-output-channel absmax/127 int8,
@@ -43,7 +43,7 @@ from jax import lax
 
 from ..core import linear, relu, tanh
 from ..core.norm import in_relu
-from .enhanced_generator import _attention_windows, num_transformer_blocks_of
+from .enhanced_generator import num_transformer_blocks_of
 from .structural_transformer import structural_transformer_apply
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
@@ -104,15 +104,24 @@ def _convt_i8_k4s2p1(x8, w8):
 # parameter quantization + calibration
 # ---------------------------------------------------------------------------
 
-# conv sites and whether their scale/bias is absorbed by a following IN
-_DEQUANT_SITES = ("qkv", "proj", "output")
+# Only the output conv needs dequant (+bias); every other quantized conv
+# is followed by InstanceNorm, which absorbs scale and bias exactly.
+_DEQUANT_SITES = ("output",)
 
 
 def _site_of(key: str) -> str | None:
-    """Map a param key to its quantization site name, or None to keep fp."""
+    """Map a param key to its quantization site name, or None to keep fp.
+
+    The attention convs (qkv/proj) STAY bf16: quantizing them forces the
+    plain einsum attention path, and the measured cost of losing the
+    tuned Pallas/einsum dispatch (whole-pipeline 0.46x at 256^2 x96)
+    dwarfs the 1.05-1.1x standalone int8 conv wins. Int8 covers the
+    IN-absorbed backbone convs; attention + transformer + style run the
+    same bf16 fast path as the NHWC engine."""
     if key.endswith(".weight"):
         base = key[:-len(".weight")]
-        if base.startswith("style_encoder") or "transformer_blocks" in base:
+        if (base.startswith("style_encoder") or "transformer_blocks" in base
+                or base.endswith(".qkv") or base.endswith(".proj")):
             return None
         return base
     return None
@@ -230,14 +239,14 @@ def _q_conv(qp, params, x, site, rec, *, conv_kind="conv", stride=1,
     return acc.astype(jnp.bfloat16)
 
 
-def _q_attention(qp, params, x, prefix, rec, *, window_size, eps=1e-12):
-    qkv = _q_conv(qp, params, x, f"{prefix}qkv", rec)
-    if qp is None:
-        out = _attention_windows(qkv, window_size=window_size, eps=eps)
-    else:
-        out = _attention_windows(qkv.astype(jnp.bfloat16),
-                                 window_size=window_size, eps=eps)
-    return _q_conv(qp, params, out, f"{prefix}proj", rec)
+def _q_attention(qp, params, x, prefix, rec, *, window_size,
+                 fast_attention=False):
+    from .enhanced_generator import local_attention_apply
+
+    fp = params if qp is None else qp["fp"]
+    return local_attention_apply(fp, x, prefix=prefix,
+                                 window_size=window_size,
+                                 fast=False if qp is None else fast_attention)
 
 
 _MSB_BRANCHES = (("branch1", 0, 1), ("branch2", 1, 1),
@@ -254,7 +263,7 @@ def _q_msb(qp, params, x, prefix, rec):
     return in_relu(h) + x
 
 
-def _forward(qp, params, x, rec, *, window_size=4):
+def _forward(qp, params, x, rec, *, window_size=4, fast_attention=False):
     """qp None -> calibration mode over fp ``params``; else int8 mode
     (``params`` may be None; fp leaves come from qp['fp'])."""
     fp = params if qp is None else qp["fp"]
@@ -265,7 +274,8 @@ def _forward(qp, params, x, rec, *, window_size=4):
         h = in_relu(_q_conv(qp, params, h, f"{name}.0", rec,
                             stride=2, padding=1))
         h = _q_attention(qp, params, h, f"{name}.3.", rec,
-                         window_size=window_size)
+                         window_size=window_size,
+                         fast_attention=fast_attention)
         h = _q_msb(qp, params, h, f"{name}.4.", rec)
 
     B, H, W, C = h.shape
@@ -277,24 +287,31 @@ def _forward(qp, params, x, rec, *, window_size=4):
     for i in range(num_transformer_blocks_of(fp)):
         tokens = structural_transformer_apply(
             fp, tokens, style, orig, grid_hw=(H, W),
-            prefix=f"transformer_blocks.{i}.")
+            prefix=f"transformer_blocks.{i}.",
+            fast=False if qp is None else fast_attention)
     h = tokens.reshape(B, H, W, C)
 
     for name in ("up1", "up2"):
         h = in_relu(_q_conv(qp, params, h, f"{name}.0", rec,
                             conv_kind="convT"))
         h = _q_attention(qp, params, h, f"{name}.3.", rec,
-                         window_size=window_size)
+                         window_size=window_size,
+                         fast_attention=fast_attention)
         h = _q_msb(qp, params, h, f"{name}.4.", rec)
 
     h = _q_conv(qp, params, h, "output.0", rec, padding=3)
     return tanh(h)
 
 
-def quantized_enhanced_generator_apply(qparams, x, *, window_size: int = 4):
-    """Int8 forward. x: (B, H, W, 3) in [-1, 1], any float dtype."""
+def quantized_enhanced_generator_apply(qparams, x, *, window_size: int = 4,
+                                       fast_attention: bool = False):
+    """Int8 forward. x: (B, H, W, 3) in [-1, 1], any float dtype.
+
+    fast_attention: same meaning as enhanced_generator_apply — the
+    bf16 attention/transformer parts use the tuned Pallas/einsum
+    dispatch (inference only)."""
     return _forward(qparams, None, x.astype(jnp.bfloat16), None,
-                    window_size=window_size)
+                    window_size=window_size, fast_attention=fast_attention)
 
 
 def prepare_int8_model(params, calib_batches=None, *, window_size: int = 4):

@@ -180,7 +180,8 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
         )
 
         run_params = prepare_int8_model(model.params, calib_batches)
-        model_forward = quantized_enhanced_generator_apply
+        model_forward = partial(quantized_enhanced_generator_apply,
+                                fast_attention=fast_attention)
     elif fast_attention:
         model_forward = partial(enhanced_generator_apply,
                                 fast_attention=True)

@@ -114,7 +114,7 @@ def throughput(params, qp, batch, size):
 
     def pipe_int8(q, imgs):
         x = to_model_range(imgs)
-        y = quantized_enhanced_generator_apply(q, x)
+        y = quantized_enhanced_generator_apply(q, x, fast_attention=True)
         return (from_model_range(y.astype(jnp.float32)) * 255).astype(
             jnp.uint8)
 

@@ -88,13 +88,16 @@ def test_prepare_and_forward_shapes(rng):
                                      num_transformer_blocks=1)
     x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)), jnp.float32)
     qp = qg.prepare_int8_model(params, [x])
-    # every backbone conv site quantized; transformer/style stay fp
+    # IN-absorbed backbone conv sites quantized; attention (qkv/proj),
+    # transformer and style stay fp/bf16 (they run the fast dispatch)
     assert "initial.0" in qp["weights_q"]
     assert "up2.4.fusion.0" in qp["weights_q"]
     assert all("transformer" not in k for k in qp["weights_q"])
+    assert all(not k.endswith((".qkv", ".proj")) for k in qp["weights_q"])
     assert any(k.startswith("transformer_blocks") for k in qp["fp"])
+    assert "down1.3.qkv.weight" in qp["fp"]
     # dequant bias kept only where IN does not absorb it
-    assert "output.0" in qp["bias"] and "down1.3.qkv" in qp["bias"]
+    assert "output.0" in qp["bias"]
     assert "down1.0" not in qp["bias"]
     out = qg.quantized_enhanced_generator_apply(qp, x)
     assert out.shape == x.shape
