@@ -46,6 +46,12 @@ from .model_loader import LoadedModel
 
 CANVAS = 256
 
+# Best measured compile option for the stylize programs (scripts/
+# ab_xla_flags.py: scoped-vmem 48/64/80/96 MiB all ~1.02x over base,
+# plateau — 64 adopted). Applied to the single-chip probe compile in
+# batch_process; any failure falls back to the plain jit.
+_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
 
 # ---------------------------------------------------------------------------
 # host side: decode + canvas paste (exact reference PIL recipe :186-200)
@@ -288,6 +294,14 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
             probe = np.zeros((batch_size, canvas, canvas, 3), np.uint8)
             probe = jax.device_put(
                 probe, batch_sharding if mesh is not None else None)
+            if mesh is None:
+                try:  # single-chip: pre-compile with the measured option
+                    jitted, bound = run_fn.func, run_fn.args[0]
+                    compiled = jitted.lower(bound, probe).compile(
+                        compiler_options=_COMPILER_OPTS)
+                    run_fn = partial(compiled, bound)
+                except Exception:
+                    pass  # plain jit path below compiles without options
             _ = np.asarray(run_fn(probe)[0, :1, :1])
             break
         except Exception as e:

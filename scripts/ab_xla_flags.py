@@ -37,6 +37,10 @@ VARIANTS = {
     "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
     "vmem128": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
     "no_lhs": {"xla_tpu_enable_latency_hiding_scheduler": "false"},
+    # second-wave candidates (round 3, after vmem64 reproduced 1.02x):
+    "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    "vmem48": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
+    "vmem80": {"xla_tpu_scoped_vmem_limit_kib": "81920"},
 }
 ROUNDS, ITERS = 5, 3
 

@@ -83,6 +83,7 @@ def test_act_scale_fold_is_exact(rng):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_prepare_and_forward_shapes(rng):
     params = enhanced_generator_init(jax.random.PRNGKey(0), channels=8,
                                      num_transformer_blocks=1)
