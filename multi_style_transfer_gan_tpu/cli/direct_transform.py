@@ -45,7 +45,10 @@ def main(argv=None):
         from ..ops import resize, to_model_range
 
         img = np.asarray(Image.open(args.image).convert("RGB"), np.uint8)
-        x01 = resize(jnp.asarray(img, jnp.float32) / 255.0, (256, 256))
+        # calibrate at the resolution the run will actually execute at —
+        # activation scales measured at a different size would misquantize
+        x01 = resize(jnp.asarray(img, jnp.float32) / 255.0,
+                     (args.size, args.size))
         calib = [to_model_range(x01)[None]]
     model = load_generator(args.model, precision=args.precision,
                            calib_batches=calib)

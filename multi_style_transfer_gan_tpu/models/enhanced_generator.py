@@ -174,8 +174,10 @@ def _attention_math(x, wqkv, bqkv, wproj, bproj, *, window_size, eps):
 
 def _attention_windows(qkv, *, window_size, eps):
     """Window partition -> channel attention -> merge, from a precomputed
-    qkv map. Shared by the XLA parity path and the int8 engine (which
-    supplies its own quantized qkv/proj convs around it)."""
+    qkv map. Split from _attention_math so callers that build qkv
+    differently can reuse it. (The int8 engine deliberately keeps its
+    whole attention module bf16 and goes through the shared fast-attention
+    dispatch instead — see models/quantized_generator.py.)"""
     B, H, W, C3 = qkv.shape
     C = C3 // 3
     ws = window_size

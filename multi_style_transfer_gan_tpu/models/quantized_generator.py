@@ -10,7 +10,13 @@ The design exploits a property of this architecture (reference
 enhanced_generator.py:92-139: every backbone conv is followed by
 InstanceNorm): **InstanceNorm is exactly invariant to per-channel affine
 maps** — IN(s*y + b) == IN(y) for per-(channel) s>0, b, because the mean
-subtraction removes b and the variance division removes s. So for every
+subtraction removes b and the variance division removes s. (Exactly true
+at eps=0 only: feeding the raw int32 accumulator scales variances by s^2,
+so near-constant channels with var ~ eps are damped less here than on the
+bf16 path. With eps=1e-5 against accumulator magnitudes of ~1e4-1e6 the
+effect is negligible everywhere except pathological flat channels; if
+flat-channel artifacts ever show in the SSIM A/B, scale eps by the
+squared absorbed per-channel factor.) So for every
 conv -> IN -> act chain the int32 accumulator feeds IN *directly*: the
 per-output-channel weight scale, the per-channel input scale AND the
 conv bias are all absorbed, with zero dequantization arithmetic and zero

@@ -117,14 +117,20 @@ def try_skip_connections(model: LoadedModel, image_path, output_dir,
     img = _load_rgb(image_path)
     x01 = resize(jnp.asarray(img, jnp.float32) / 255.0, (size, size))
     apply = model.apply
-    if spatial and spatial > 1:
+    # int8 models carry their own quantized program; the spatial rebuild
+    # below works from model.params and would silently swap the engine
+    # back to bf16 (same guard as transform_image above)
+    if spatial and spatial > 1 and model.precision != "int8":
         from ..parallel import spatial_apply
         # fast_attention keeps the Pallas window kernels per height shard
         # (shard_map; sharding_spec.ShardedFastAttention)
         apply = spatial_apply(model, n_devices=spatial,
                               fast_attention=(fast_attention
                                               and model.kind == "enhanced"))
-    y01 = from_model_range(apply(to_model_range(x01)[None]))[0]
+    # float32 for host math/plotting: bf16-engine outputs (e.g. int8 mode)
+    # reach numpy as ml_dtypes bfloat16, which matplotlib rejects
+    y01 = np.asarray(from_model_range(apply(to_model_range(x01)[None]))[0],
+                     np.float32)
 
     fig, axes = plt.subplots(1, len(blends) + 2,
                              figsize=(4 * (len(blends) + 2), 4))
