@@ -34,11 +34,14 @@ def main(argv=None):
                    help="bfloat16 generator compute (TPU fast path)")
     p.add_argument("--fast_attention", action="store_true",
                    help="fused Pallas window-attention kernels")
-    p.add_argument("--engine", choices=["nhwc", "packed", "int8"],
-                   default="nhwc",
-                   help="generator engine: packed = space-to-depth lane-"
-                        "dense forward; int8 = post-training-quantized "
-                        "serving engine (both enhanced models only)")
+    p.add_argument("--engine", choices=["auto", "nhwc", "packed", "int8"],
+                   default="auto",
+                   help="generator engine: auto (default) picks per the "
+                        "measured (batch, canvas) dispatch table "
+                        "(pipelines.batch.select_engine); packed = space-"
+                        "to-depth lane-dense forward; int8 = post-training-"
+                        "quantized serving engine (both enhanced models "
+                        "only)")
     p.add_argument("--canvas", type=int, default=256,
                    help="working resolution (multiple of 32; the reference"
                         " fixes 256. 512 = higher fidelity, ~4x compute)")

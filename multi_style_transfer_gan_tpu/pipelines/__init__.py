@@ -9,10 +9,11 @@
 
 from .model_loader import load_generator, LoadedModel
 from .direct import transform_image, test_different_sizes, try_skip_connections
-from .batch import batch_process
+from .batch import batch_process, select_engine
 
 __all__ = [
     "load_generator", "LoadedModel",
     "transform_image", "test_different_sizes", "try_skip_connections",
     "batch_process",
+    "select_engine",
 ]

@@ -200,6 +200,37 @@ def make_batch_fn(model: LoadedModel, mode: str, local_style_mode: str,
 
 
 # ---------------------------------------------------------------------------
+# engine dispatch
+# ---------------------------------------------------------------------------
+
+def select_engine(batch_size: int, canvas: int,
+                  kind: str = "enhanced") -> str:
+    """Measured (batch, canvas) -> engine dispatch (VERDICT r3 item 6).
+
+    Same-run A/Bs on the v5e chip (docs/PERFORMANCE.md engine table +
+    scripts/ab_engine_dispatch.py): the packed space-to-depth engine wins
+    small batches decisively at the 512^2 canvas (225 vs 127 img/s at
+    512^2 x16 with the v3 kernels) because its attention pays zero
+    relayout, but its throughput is flat in batch (225 -> 251 over
+    16 -> 96) while NHWC scales (127 -> 339), so NHWC keeps every
+    high-batch regime. At the 256^2 canvas NHWC wins at high batch
+    (1285 vs 996 at x96); the small-batch 256^2 cell is measured by
+    scripts/ab_engine_dispatch.py (NHWC ahead there too — the relayout
+    cost the packed layout dodges shrinks with canvas while its ~2.9x
+    lane-padding FLOPs overhead does not).
+
+    Dispatch-only by design: it picks among frozen, parity-tested engines
+    (the packed freeze policy, docs/PERFORMANCE.md) and never changes
+    their math. The plain generator has a single engine.
+    """
+    if kind != "enhanced":
+        return "nhwc"
+    if batch_size <= 32 and canvas >= 512:
+        return "packed"
+    return "nhwc"
+
+
+# ---------------------------------------------------------------------------
 # orchestration
 # ---------------------------------------------------------------------------
 
@@ -210,7 +241,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                   smooth: bool = True, batch_size: int = 64,
                   decode_workers: int = 8, compute_dtype=None,
                   fast_attention: bool = False, mesh=None,
-                  engine: str = "nhwc", canvas: int = CANVAS) -> dict:
+                  engine: str = "auto", canvas: int = CANVAS) -> dict:
     """Process every image in ``input_dir``; returns a stats dict.
 
     Output layout matches the reference: ``{out}/cyclegan_{direction}/name``
@@ -219,8 +250,12 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — batches are
     sharded across it (params replicate; one jitted program serves any mesh
     size, so a v5e-8 processes 8 shards per dispatch over ICI).
-    engine: 'nhwc' | 'packed' (see make_batch_fn); 'packed' applies to
-    enhanced models only and falls back to 'nhwc' if its compile fails.
+    engine: 'auto' (default) consults the measured (batch, canvas) table
+    (``select_engine``) after the small-folder batch shrink, so e.g. a
+    <=32-image folder at the 512 canvas dispatches the packed engine it
+    measures fastest on; 'nhwc' | 'packed' | 'int8' force one (see
+    make_batch_fn). Non-NHWC engines apply to enhanced models only and
+    fall back to 'nhwc' if their compile fails.
     canvas: working resolution (the reference fixes 256 —
     batch_process_images.py:186-200; any multiple of 32 works here, e.g.
     512 for higher-fidelity output at the cost of ~4x compute).
@@ -255,6 +290,12 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         local_batch_size(batch_size, mesh)  # validates divisibility
         batch_sharding = data_sharding(mesh, 4)
 
+    if engine == "auto":
+        # measured dispatch on the FINAL compiled batch (post small-folder
+        # shrink / mesh rounding) — that is the shape the engines were A/B'd at
+        engine = select_engine(batch_size, canvas, model.kind)
+        print(f"engine=auto -> {engine} (batch {batch_size}, "
+              f"canvas {canvas})")
     if engine in ("packed", "int8") and model.kind != "enhanced":
         engine = "nhwc"
     # Build/probe candidate programs best-first; the remote compile service

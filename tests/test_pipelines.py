@@ -188,6 +188,21 @@ def test_batch_data_parallel_mesh(small_ckpts, image_dir, tmp_path):
         assert np.abs(a - b).max() <= 1, name
 
 
+def test_select_engine_measured_table():
+    """Auto-dispatch mirrors the measured engine table (PERFORMANCE.md):
+    packed only wins small-batch 512-canvas runs; NHWC keeps everything
+    else; the plain generator has one engine."""
+    from multi_style_transfer_gan_tpu.pipelines import select_engine
+
+    assert select_engine(16, 512) == "packed"
+    assert select_engine(32, 512) == "packed"
+    assert select_engine(1, 768) == "packed"
+    assert select_engine(64, 512) == "nhwc"   # NHWC scales, packed is flat
+    assert select_engine(16, 256) == "nhwc"   # measured: NHWC ahead at 256
+    assert select_engine(96, 256) == "nhwc"
+    assert select_engine(16, 512, kind="plain") == "nhwc"
+
+
 def test_batch_packed_engine_matches_nhwc(small_ckpts, image_dir, tmp_path):
     """engine='packed' (space-to-depth forward) produces the same files and
     near-identical uint8 pixels as the default NHWC engine."""
