@@ -220,6 +220,54 @@ def test_window_attention_v3_matches_reference(rng, C):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_window_relayout_kernels_match_transpose(rng):
+    """s2d_rows/d2s_rows (block-copy Pallas relayout) == the XLA 6D
+    transpose they replace, across group sizes (target_rows exercises
+    group 1 and >1); d2s inverts s2d exactly."""
+    from multi_style_transfer_gan_tpu.ops.pallas.window_relayout import (
+        d2s_rows, s2d_rows,
+    )
+
+    B, H, W, C = 2, 16, 24, 16
+    ws = 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    nh, nw = H // ws, W // ws
+    ref = x.reshape(B, nh, ws, nw, ws, C).transpose(0, 1, 3, 2, 4, 5)
+    ref = np.asarray(ref.reshape(B * nh * nw, ws * ws * C))
+    for target in (1, 512):
+        rows = s2d_rows(x, target_rows=target, interpret=True)
+        np.testing.assert_array_equal(np.asarray(rows), ref)
+        back = d2s_rows(rows, (B, H, W, C), target_rows=target,
+                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.slow
+def test_window_attention_v3_fused_io_matches_reference(rng):
+    """Fused-IO v3 (NHWC in/out, relayouts in-VMEM) == reference math,
+    including the zero-safe normalize and multi-grid-step runs."""
+    from multi_style_transfer_gan_tpu.models.enhanced_generator import (
+        local_attention_init,
+    )
+    from multi_style_transfer_gan_tpu.ops.pallas.window_relayout import (
+        window_attention_v3_fused_io,
+    )
+
+    C = 16
+    params = local_attention_init(jax.random.PRNGKey(2), C)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, C)), jnp.float32)
+    x = x.at[0, :4, :4, :].set(0.0)
+    ref = local_attention_apply(params, x, prefix="")
+    for target in (4, 512):  # 4 -> multiple grid steps at this shape
+        got = window_attention_v3_fused_io(
+            x, params["qkv.weight"], params["qkv.bias"],
+            params["proj.weight"], params["proj.bias"],
+            target_rows=target, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("dim,hw", [
     pytest.param(64, (16, 24), marks=pytest.mark.slow),  # deployed dim: slow tier
     (32, (8, 8)),
