@@ -70,12 +70,34 @@ def trained_params(steps, channels=16):
     return state.g_params["G_AB"]
 
 
-def quality(params, size=256):
+def quality(params, size=256, images_dir=None):
     from multi_style_transfer_gan_tpu.metrics.quality import psnr, ssim
 
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 3)), jnp.float32)
-    calib = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 3)), jnp.float32)
+    if images_dir:
+        # the round-4 trained-model protocol: real test photos for both
+        # the eval inputs and the PTQ calibration batch (data-true scales)
+        from PIL import Image
+
+        from multi_style_transfer_gan_tpu.data import list_images
+
+        paths = list_images(images_dir)
+        if len(paths) < 4:
+            raise SystemExit(f"need >=4 images in {images_dir}")
+
+        def _load(ps):
+            ims = [np.asarray(Image.open(p).convert("RGB").resize(
+                (size, size), Image.LANCZOS), np.float32) for p in ps]
+            return jnp.asarray(np.stack(ims) / 127.5 - 1.0, jnp.float32)
+
+        x = _load(paths[:4])
+        calib = _load(paths[4:12] if len(paths) > 4 else paths[:4])
+        print(f"quality eval on {len(paths[:4])} real images from "
+              f"{images_dir}", flush=True)
+    else:
+        x = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 3)), jnp.float32)
+        calib = jnp.asarray(rng.uniform(-1, 1, (2, size, size, 3)),
+                            jnp.float32)
     qp = prepare_int8_model(params, [calib])
 
     ref = np.asarray(jax.jit(enhanced_generator_apply)(params, x),
@@ -157,11 +179,26 @@ def main():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--train_steps", type=int, default=0)
+    ap.add_argument("--model", type=str, default=None,
+                    help="trained .pth checkpoint (the VERDICT r3 item-2 "
+                         "protocol: answer the int8 quality question on "
+                         "genuinely trained weights)")
+    ap.add_argument("--images_dir", type=str, default=None,
+                    help="real test images for the quality eval inputs + "
+                         "PTQ calibration (e.g. the synthetic testB split)")
     ap.add_argument("--skip_quality", action="store_true")
     args = ap.parse_args()
     enable_compilation_cache()
 
-    if args.train_steps:
+    if args.model:
+        from multi_style_transfer_gan_tpu.weights import (
+            enhanced_generator_from_sd, extract_state_dict, load_pth,
+        )
+
+        params = enhanced_generator_from_sd(
+            extract_state_dict(load_pth(args.model)))
+        print(f"loaded trained checkpoint {args.model}", flush=True)
+    elif args.train_steps:
         print(f"training {args.train_steps} steps on the synthetic "
               "two-domain task...", flush=True)
         params = trained_params(args.train_steps)
@@ -174,7 +211,7 @@ def main():
                             jnp.float32)
         qp = prepare_int8_model(params, [calib])
     else:
-        qp = quality(params)
+        qp = quality(params, images_dir=args.images_dir)
     throughput(params, qp, args.batch, args.size)
 
 
