@@ -133,8 +133,18 @@ def monetize(img: np.ndarray, *, stroke_seed: int = 7) -> np.ndarray:
 
     Composition (all local — learnable by a small conv generator):
     palette matrix + lavender shadow lift, a softening blur, oriented
-    brush-stroke grain (fixed seeded texture), a mild tone curve, and a
-    corner vignette. Deterministic given the image and ``stroke_seed``.
+    brush-stroke grain, a mild tone curve, and a corner vignette.
+    Deterministic given the image and ``stroke_seed``.
+
+    ``stroke_seed`` MUST vary per image in a training set (write_domains
+    derives it from each image's render seed): a fixed texture would make
+    the GAN game unwinnable — a translation-equivariant conv generator
+    cannot memorize one global 256^2 noise pattern, while the
+    discriminator trivially keys on its absence (observed round 4:
+    d_loss -> 4e-4 and high-frequency artifacts). With per-image seeds
+    the target is a *distribution* of anisotropically-filtered noise,
+    which a generator CAN realize by filtering the fine noise already
+    present in the photo renders.
     """
     from scipy.ndimage import gaussian_filter
 
@@ -148,12 +158,12 @@ def monetize(img: np.ndarray, *, stroke_seed: int = 7) -> np.ndarray:
     # soften: painterly loss of high-frequency detail
     x = gaussian_filter(x, sigma=(1.3, 1.3, 0))
 
-    # oriented stroke grain: anisotropic smoothed noise, fixed texture
-    rng = np.random.default_rng(stroke_seed)
+    # oriented stroke grain: anisotropic smoothed noise, per-image texture
+    rng = np.random.default_rng((int(stroke_seed) * 2654435761) % (2 ** 31))
     grain = gaussian_filter(rng.standard_normal((h, w)), sigma=(0.6, 4.0))
     grain = grain / max(float(np.abs(grain).max()), 1e-9)
     luma = x.mean(axis=2, keepdims=True)
-    x = x + grain[..., None] * 0.05 * (0.3 + luma)
+    x = x + grain[..., None] * 0.04 * (0.3 + luma)
 
     # tone curve: lift shadows, compress highlights (soft filmic-ish)
     x = np.clip(x, 0, 1) ** 0.88
@@ -204,16 +214,19 @@ def write_domains(root, *, n_train: int = 400, n_test: int = 54,
         for s in rng_:
             name = f"{split}_{s - base:05d}.jpg"
             photo = render_photo(s, size)
+            # per-image stroke seed (see monetize's docstring): derived
+            # from the render seed, so truth folders stay deterministic
+            mon = lambda: monetize(photo, stroke_seed=s)
             if split == "trainA":
-                _save(root / split, name, monetize(photo))
+                _save(root / split, name, mon())
             elif split == "trainB":
                 _save(root / split, name, photo)
             elif split == "testA":
-                _save(root / split, name, monetize(photo))
+                _save(root / split, name, mon())
                 _save(root / "truth_photo_for_testA", name, photo)
             else:  # testB
                 _save(root / split, name, photo)
-                _save(root / "truth_monet_for_testB", name, monetize(photo))
+                _save(root / "truth_monet_for_testB", name, mon())
         manifest[split] = len(rng_)
     manifest["truth_photo_for_testA"] = n_test
     manifest["truth_monet_for_testB"] = n_test
