@@ -119,6 +119,7 @@ def test_process_local_toggles(img_path, tmp_path):
     assert np.abs(outs["no_smooth"] - outs["no_colors"]).mean() > 0.1
 
 
+@pytest.mark.slow
 def test_model_info_text_headless():
     """debug_check_model parity panel (gan_login_gui.py:280-298):
     per-model load state, family, width, parameter/tensor counts."""

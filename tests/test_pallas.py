@@ -413,10 +413,11 @@ def _attn_params(rng, C):
 
 # (2,32,32,16): nw=8 % g=8 == 0 fast relayout; (1,16,48,32): nw=12 % g=4;
 # (2,16,12,16): nw=3 % g=8 != 0 exercises the general relayout branch.
-# Default tier keeps both C=16 relayout branches; the C=32/C=64 width
-# variants run in the slow tier (suite-budget tiering, VERDICT r1 item 7).
+# Default tier keeps one C=16 branch (the ragged general-relayout shape);
+# the square C=16 fast-relayout and the C=32/C=64 width variants run in
+# the slow tier (suite-budget policy, pytest.ini).
 @pytest.mark.parametrize("shape", [
-    (2, 32, 32, 16),
+    pytest.param((2, 32, 32, 16), marks=pytest.mark.slow),
     pytest.param((1, 16, 48, 32), marks=pytest.mark.slow),
     (2, 16, 12, 16),
     pytest.param((1, 16, 16, 64), marks=pytest.mark.slow),

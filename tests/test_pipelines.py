@@ -244,6 +244,7 @@ def test_batch_int8_engine_runs(small_ckpts, image_dir, tmp_path):
         assert np.abs(ia - ib).mean() < 64, np.abs(ia - ib).mean()
 
 
+@pytest.mark.slow
 def test_load_generator_int8_precision(small_ckpts):
     """precision='int8' builds the quantized apply through the loader."""
     model = load_generator(small_ckpts / "G_AB_epoch_200.pth",

@@ -42,7 +42,8 @@ def test_enhanced_spatial_matches_unsharded(sp):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("sp", [2, pytest.param(8, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("sp", [pytest.param(2, marks=pytest.mark.slow),
+                                pytest.param(8, marks=pytest.mark.slow)])
 def test_enhanced_spatial_fast_attention_matches_unsharded(sp, monkeypatch):
     """fast_attention=True under the height shard (shard_map'd Pallas
     kernels, interpreted on CPU) must match the unsharded XLA forward."""
