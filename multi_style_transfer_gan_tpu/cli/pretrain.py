@@ -22,6 +22,14 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--model", choices=["plain", "enhanced"], default="plain",
+                   help="plain = the reference recipe (Generator(64)); "
+                        "enhanced = pretrain the EnhancedGenerator itself "
+                        "so cli.train's --pretrained warm start actually "
+                        "transfers (the reference's plain->enhanced "
+                        "non-strict load shares zero keys)")
+    p.add_argument("--num_transformer_blocks", type=int, default=1,
+                   help="enhanced model only")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint to resume from (pretrain_resume parity)")
@@ -63,22 +71,28 @@ def main(argv=None):
     steps_per_epoch = ((len(monet) + len(photo)) // args.batch_size) or 1
 
     key = jax.random.PRNGKey(args.seed)
-    state, tx = pretrain_init_state(key, args.channels,
-                                    num_epochs=args.num_epochs,
-                                    steps_per_epoch=steps_per_epoch,
-                                    lr=args.lr)
+    state, tx = pretrain_init_state(
+        key, args.channels, num_epochs=args.num_epochs,
+        steps_per_epoch=steps_per_epoch, lr=args.lr, model=args.model,
+        num_transformer_blocks=args.num_transformer_blocks)
     start_epoch = 0
     if args.resume:
         from ..train.pretrain import restore_opt_state
 
         ck = load_pth(args.resume)
-        params = plain_generator_from_sd(extract_state_dict(ck))
+        if args.model == "enhanced":
+            from ..weights import enhanced_generator_from_sd
+
+            params = enhanced_generator_from_sd(extract_state_dict(ck))
+        else:
+            params = plain_generator_from_sd(extract_state_dict(ck))
         start_epoch = int(ck.get("epoch", 0)) + 1
         step = start_epoch * steps_per_epoch
         # fast-forwards the LR schedule/bias-correction counts and restores
         # adam moments when the checkpoint carries a torch Adam state
         opt = restore_opt_state(tx, params, step,
-                                ck.get("optimizer_state_dict"))
+                                ck.get("optimizer_state_dict"),
+                                kind=args.model)
         state = PretrainState(params=params, opt=opt,
                               step=jnp.asarray(step))
         print(f"resumed from {args.resume} at epoch {start_epoch}")

@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..models.enhanced_generator import (
+    enhanced_generator_apply, enhanced_generator_init,
+)
 from ..models.plain_generator import plain_generator_apply, plain_generator_init
 from ..data.dataset import random_patch_mask
 from .losses import masked_l1
@@ -52,11 +55,33 @@ def make_pretrain_optimizer(num_epochs: int, steps_per_epoch: int,
 
 
 def pretrain_init_state(key, channels: int = 64, *, num_epochs: int = 200,
-                        steps_per_epoch: int = 1000, lr: float = LR):
-    params = plain_generator_init(key, channels)
+                        steps_per_epoch: int = 1000, lr: float = LR,
+                        model: str = "plain",
+                        num_transformer_blocks: int = 1):
+    """model='plain' is the reference recipe (Generator(64), pretrain.py:127).
+
+    model='enhanced' pretrains the EnhancedGenerator itself — a TPU-side
+    completion of the reference's INTENT: enhanced_train.py:28-33
+    warm-starts EnhancedGenerator non-strictly from the plain pretrain
+    checkpoint, whose keys share nothing, so the reference's warm start
+    silently transfers zero tensors. Pretraining the enhanced model
+    directly makes the warm start real (measured round 4: CycleGAN from
+    scratch at this config spends its first ~5k steps fighting
+    reconstruction artifacts the pretrain solves outright)."""
+    if model == "enhanced":
+        params = enhanced_generator_init(
+            key, channels, num_transformer_blocks=num_transformer_blocks)
+    else:
+        params = plain_generator_init(key, channels)
     tx = make_pretrain_optimizer(num_epochs, steps_per_epoch, lr)
     return PretrainState(params=params, opt=tx.init(params),
                          step=jnp.zeros((), jnp.int32)), tx
+
+
+def _is_enhanced(params) -> bool:
+    """The two generators share no key names (enhanced has the 7x7 stem
+    'initial.0.weight'; plain starts at 'encoder.0.weight')."""
+    return "initial.0.weight" in params
 
 
 def pretrain_train_step(state: PretrainState, tx, images, mask_key,
@@ -70,8 +95,12 @@ def pretrain_train_step(state: PretrainState, tx, images, mask_key,
     B, H, W, _ = images.shape
     mask = random_patch_mask(mask_key, B, H, width=W)
     x = (images * mask).astype(compute_dtype)
+    enhanced = _is_enhanced(state.params)
 
     def loss_fn(params):
+        if enhanced:  # stateless forward (InstanceNorm, no running stats)
+            gen = enhanced_generator_apply(params, x)
+            return masked_l1(gen, images, mask), params
         gen, new_params = plain_generator_apply(params, x, training=True)
         return masked_l1(gen, images, mask), new_params
 
@@ -134,7 +163,8 @@ def save_pretrain_checkpoint(state: PretrainState, path, epoch: int,
 
     from ..weights import adam_state_to_torch, params_to_torch_sd, save_pth
 
-    model_sd = params_to_torch_sd(state.params, "plain")
+    kind = "enhanced" if _is_enhanced(state.params) else "plain"
+    model_sd = params_to_torch_sd(state.params, kind)
     for k in list(model_sd):
         if k.endswith("running_mean"):
             model_sd[k[:-len("running_mean")] + "num_batches_tracked"] = \
@@ -148,7 +178,7 @@ def save_pretrain_checkpoint(state: PretrainState, path, epoch: int,
         return s
     _map_states(state.opt, grab)
     opt_sd = (adam_state_to_torch(state.params, adam.mu, adam.nu,
-                                  int(adam.count), "plain", tx_lr,
+                                  int(adam.count), kind, tx_lr,
                                   ADAM_BETAS)
               if adam is not None else {"step": int(state.step)})
 

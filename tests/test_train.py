@@ -34,6 +34,45 @@ def test_pretrain_step_learns(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow  # enhanced fwd+bwd compile; suite-budget policy
+def test_enhanced_pretrain_step_learns_and_warm_starts(rng, tmp_path):
+    """model='enhanced' pretraining: loss decreases, the checkpoint is
+    torch-schema, and cyclegan_init_state warm-starts from it with EVERY
+    generator tensor transferred (the reference's plain->enhanced warm
+    start transfers zero — this is the working version of
+    enhanced_train.py:28-33)."""
+    from multi_style_transfer_gan_tpu.train import save_pretrain_checkpoint
+    from multi_style_transfer_gan_tpu.train.cyclegan import (
+        cyclegan_init_state,
+    )
+    from multi_style_transfer_gan_tpu.weights import (
+        enhanced_generator_from_sd, extract_state_dict, load_pth,
+    )
+
+    key = jax.random.PRNGKey(0)
+    state, tx = pretrain_init_state(key, channels=4, num_epochs=10,
+                                    steps_per_epoch=5, model="enhanced")
+    x = jnp.tanh(jnp.asarray(
+        rng.standard_normal((2, 32, 32, 3)).astype(np.float32)))
+    step = jax.jit(lambda s, imgs, k: pretrain_train_step(s, tx, imgs, k))
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, x, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+    path = tmp_path / "generator_pretrain_epoch_1.pth"
+    save_pretrain_checkpoint(state, path, 1, losses[-1])
+    pre = enhanced_generator_from_sd(extract_state_dict(load_pth(path)))
+    cg = cyclegan_init_state(jax.random.PRNGKey(1), channels=4,
+                             pretrained_params=pre)
+    for g in ("G_AB", "G_BA"):
+        for k, v in pre.items():
+            np.testing.assert_array_equal(np.asarray(cg.g_params[g][k]),
+                                          np.asarray(v))
+
+
 def test_mask_law():
     mask = random_patch_mask(jax.random.PRNGKey(0), 64, 256)
     assert mask.shape == (64, 256, 256, 1)
