@@ -19,10 +19,34 @@ import jax
 _DEFAULT_CACHE = os.path.expanduser("~/.cache/mstgan_tpu_jax_cache")
 
 
+def _backend_salt() -> str:
+    """Cache-poison guard: key the cache dir by the backend's version.
+
+    Round-4 incident: the remote TPU service was re-provisioned mid-day
+    and every cached executable from before it became poison — programs
+    loaded from the persistent cache died at dispatch with
+    ``INVALID_ARGUMENT: TPU backend error`` while freshly-compiled ones
+    ran fine. The plugin's ``platform_version`` carries the executable/
+    compat versions ("SerializedExecutable v9; compile-cache v14; compat
+    c49; Built ..."), so hashing it into the cache path makes a backend
+    swap land in a fresh, empty cache instead of replaying stale
+    binaries. Failure-detection subsystem, SURVEY.md §5.3.
+    """
+    try:
+        import hashlib
+
+        ver = getattr(jax.devices()[0].client, "platform_version", "")
+        return hashlib.sha1(str(ver).encode()).hexdigest()[:10]
+    except Exception:
+        return "unversioned"
+
+
 def enable_compilation_cache(path: str | None = None,
                              min_compile_secs: float = 1.0):
-    """Turn on JAX's persistent compilation cache (idempotent)."""
+    """Turn on JAX's persistent compilation cache (idempotent), keyed by
+    the backend version (see _backend_salt)."""
     path = path or os.environ.get("MSTGAN_JAX_CACHE", _DEFAULT_CACHE)
+    path = os.path.join(path, _backend_salt())
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -115,7 +115,12 @@ def _import_tensor(key: str, v: np.ndarray, transposed_prefixes) -> np.ndarray:
 
 
 def _import_sd(sd, transposed_prefixes, dtype,
-               keep_weight_v=False) -> Dict[str, jnp.ndarray]:
+               keep_weight_v=False) -> Dict[str, np.ndarray]:
+    """Returns HOST numpy arrays, deliberately: checkpoint import must not
+    touch the accelerator. (Round 4: `jnp.asarray` here issued one eager
+    device transfer per tensor — ~90 round trips over the tunnel at
+    load time, and on an unhealthy backend each is a chance to fail; jit
+    boundaries and replicate_tree transfer the tree when it is used.)"""
     params = {}
     for k, v in sd.items():
         if k.endswith("num_batches_tracked"):
@@ -124,9 +129,9 @@ def _import_sd(sd, transposed_prefixes, dtype,
             continue
         arr = _import_tensor(k, np.asarray(v), transposed_prefixes)
         if k.endswith(("running_mean", "running_var", "weight_u", "weight_v")):
-            params[k] = jnp.asarray(arr, jnp.float32)
+            params[k] = np.asarray(arr, np.float32)
         else:
-            params[k] = jnp.asarray(arr, dtype)
+            params[k] = np.asarray(arr, np.dtype(dtype))
     return params
 
 
@@ -154,25 +159,26 @@ def discriminator_from_sd(sd, dtype=jnp.float32):
         arr = np.asarray(v)
         name = k.rsplit(".", 1)[0]
         if k.endswith(".weight_u"):
-            sn_state.setdefault(name, {})["u"] = jnp.asarray(arr, jnp.float32)
+            sn_state.setdefault(name, {})["u"] = np.asarray(arr, np.float32)
         elif k.endswith(".weight_v"):
             oihw = np.asarray(sd[f"{name}.weight_orig"]).shape
-            sn_state.setdefault(name, {})["v"] = jnp.asarray(
-                _convert_weight_v(arr, oihw), jnp.float32)
+            sn_state.setdefault(name, {})["v"] = np.asarray(
+                _convert_weight_v(arr, oihw), np.float32)
         elif k.endswith(".weight"):
             # un-wrapped checkpoint (plain conv weights, no SN buffers)
-            params[k + "_orig"] = jnp.asarray(
-                _import_tensor(k, arr, set()), dtype)
+            params[k + "_orig"] = np.asarray(
+                _import_tensor(k, arr, set()), np.dtype(dtype))
             sn_state.setdefault(name, {})
         elif k.endswith("num_batches_tracked"):
             continue
         else:
-            params[k] = jnp.asarray(_import_tensor(k, arr, set()), dtype)
+            params[k] = np.asarray(_import_tensor(k, arr, set()),
+                                   np.dtype(dtype))
     for name, st in sn_state.items():
         if "u" not in st:
             cout = params[f"{name}.weight_orig"].shape[-1]
             v0 = np.random.default_rng(0).standard_normal(cout).astype(np.float32)
-            st["u"] = jnp.asarray(v0 / np.linalg.norm(v0))
+            st["u"] = v0 / np.linalg.norm(v0)
         st.setdefault("v", None)
     return params, sn_state
 
