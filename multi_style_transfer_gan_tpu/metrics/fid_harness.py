@@ -67,7 +67,18 @@ def run_fid_eval(g_ab, g_ba, data_root, output_dir, *, max_images: int = 100,
                  feature_fn=None, batch: int = 16, save_panels: bool = True):
     """Evaluate both directions on the test split; returns FID dict and
     writes test_results.txt (m_test.py:221-225 format)."""
-    feature_fn = feature_fn or default_feature_fn
+    base_fn = feature_fn or default_feature_fn
+
+    # generation runs on the accelerator (it is the product under test);
+    # FEATURE extraction + FID statistics run on the self-checked metrics
+    # device — cheap, and immune to the silent-miscompute failure mode the
+    # round-4 SSIM incident exposed (quality.metrics_device).
+    def feature_fn(x01):
+        from .quality import metrics_device
+
+        with jax.default_device(metrics_device()):
+            return base_fn(jnp.asarray(np.asarray(x01, np.float32)))
+
     os.makedirs(output_dir, exist_ok=True)
     results = {}
 

@@ -85,8 +85,68 @@ def ssim(a, b, data_range: float = 1.0, win_size: int = 7,
     return out[0] if single else out
 
 
+_METRICS_DEVICE = None
+
+
+def metrics_device():
+    """The device metric kernels run on, chosen by a one-time self-check.
+
+    Round-4 incident: after a mid-day backend re-provision the tunnel TPU
+    silently MISCOMPUTED the SSIM program (values up to 1.06 — impossible,
+    every SSIM factor is <= 1 by AM-GM) while MSE/PSNR and the generator
+    forwards on the same backend stayed correct to bf16 tolerance. Metrics
+    are cheap, so correctness wins: compute a fixed probe pair's SSIM on
+    the host CPU backend and on the default accelerator; if they disagree
+    beyond float noise (or SSIM(x, x) != 1), pin every metric computation
+    to the CPU device and say so once. Failure-detection subsystem,
+    SURVEY.md §5.3.
+    """
+    global _METRICS_DEVICE
+    if _METRICS_DEVICE is not None:
+        return _METRICS_DEVICE
+    default = jax.devices()[0]
+    if default.platform == "cpu":
+        _METRICS_DEVICE = default
+        return default
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        _METRICS_DEVICE = default  # nothing to fall back to
+        return default
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = np.add.outer(np.linspace(0, 1, 64), np.linspace(1, 0, 64))[..., None] / 2
+    a = np.clip(base + rng.normal(0, 0.05, (64, 64, 3)), 0, 1).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.03, a.shape), 0, 1).astype(np.float32)
+    got = ident = None
+    with jax.default_device(cpu):
+        want = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    try:
+        with jax.default_device(default):
+            got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+            ident = float(ssim(jnp.asarray(a), jnp.asarray(a)))
+        ok = abs(got - want) < 1e-3 and abs(ident - 1.0) < 1e-4
+    except Exception:
+        ok = False
+    if not ok:
+        print(f"metrics self-check FAILED on the accelerator (probe ssim "
+              f"{got} / identity {ident} vs cpu {want:.6f}); pinning metric "
+              "kernels to the host CPU")
+        _METRICS_DEVICE = cpu
+    else:
+        _METRICS_DEVICE = default
+    return _METRICS_DEVICE
+
+
 @partial(jax.jit, static_argnames=("data_range",))
-def compare_pair(a, b, data_range: float = 1.0):
-    """The reference's per-pair metric triple (compare_image_quality.py:14-33)."""
+def _compare_pair_jit(a, b, data_range: float = 1.0):
     return {"mse": mse(a, b), "psnr": psnr(a, b, data_range),
             "ssim": ssim(a, b, data_range)}
+
+
+def compare_pair(a, b, data_range: float = 1.0):
+    """The reference's per-pair metric triple (compare_image_quality.py:14-33),
+    on the self-checked metrics device (see metrics_device)."""
+    with jax.default_device(metrics_device()):
+        return _compare_pair_jit(a, b, data_range)
