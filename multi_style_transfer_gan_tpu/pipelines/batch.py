@@ -296,6 +296,10 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
         engine = select_engine(batch_size, canvas, model.kind)
         print(f"engine=auto -> {engine} (batch {batch_size}, "
               f"canvas {canvas})")
+    elif engine == "int8":
+        print("WARNING: engine='int8' is EXPERIMENTAL — measured unusable "
+              "on trained weights (SSIM 0.22 vs the 0.9965 bf16 floor at "
+              "0.99x throughput, round 4; docs/PERFORMANCE.md)")
     if engine in ("packed", "int8") and model.kind != "enhanced":
         engine = "nhwc"
     # Build/probe candidate programs best-first; the remote compile service

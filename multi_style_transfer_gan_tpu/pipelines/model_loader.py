@@ -75,6 +75,12 @@ def load_generator(path, prefer: str | None = None,
     if precision == "int8":
         if kind != "enhanced":
             raise ValueError("precision='int8' supports enhanced models only")
+        print("WARNING: the int8 engine is EXPERIMENTAL and measured "
+              "unusable on trained weights (round 4: SSIM 0.22 vs the "
+              "bf16 floor 0.9965 on the trained c16 model, at 0.99x "
+              "throughput — static per-tensor activation scales cannot "
+              "cover a trained GAN's activation ranges; docs/"
+              "PERFORMANCE.md int8 section). Use bf16 for serving.")
         from ..models.quantized_generator import (
             prepare_int8_model, quantized_enhanced_generator_apply,
         )
