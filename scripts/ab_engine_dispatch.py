@@ -14,7 +14,12 @@ so the table in pipelines/batch.py stays honest.
 import argparse
 import time
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -23,7 +23,12 @@ measurement rules), each a full attention stage NHWC -> NHWC:
 import argparse
 import time
 
+import os
+import sys
+
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
