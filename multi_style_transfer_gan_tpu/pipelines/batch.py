@@ -209,15 +209,13 @@ def select_engine(batch_size: int, canvas: int,
 
     Same-run A/Bs on the v5e chip (docs/PERFORMANCE.md engine table +
     scripts/ab_engine_dispatch.py): the packed space-to-depth engine wins
-    small batches decisively at the 512^2 canvas (225 vs 127 img/s at
-    512^2 x16 with the v3 kernels) because its attention pays zero
-    relayout, but its throughput is flat in batch (225 -> 251 over
-    16 -> 96) while NHWC scales (127 -> 339), so NHWC keeps every
-    high-batch regime. At the 256^2 canvas NHWC wins at high batch
-    (1285 vs 996 at x96); the small-batch 256^2 cell is measured by
-    scripts/ab_engine_dispatch.py (NHWC ahead there too — the relayout
-    cost the packed layout dodges shrinks with canvas while its ~2.9x
-    lane-padding FLOPs overhead does not).
+    small batches at BOTH production canvases because its attention pays
+    zero relayout — round 3: 225 vs 127 img/s at 512^2 x16; round 4
+    (re-provisioned backend, whole uint8->uint8 program, same-run
+    interleaved): 1.21x at 512^2 x16 and 1.24x at 256^2 x16. Its
+    throughput is flat in batch (225 -> 251 over 16 -> 96) while NHWC
+    scales past it (127 -> 339 at 512^2; 1285 vs 996 at 256^2 x96), so
+    NHWC keeps every high-batch regime.
 
     Dispatch-only by design: it picks among frozen, parity-tested engines
     (the packed freeze policy, docs/PERFORMANCE.md) and never changes
@@ -225,7 +223,7 @@ def select_engine(batch_size: int, canvas: int,
     """
     if kind != "enhanced":
         return "nhwc"
-    if batch_size <= 32 and canvas >= 512:
+    if batch_size <= 32:
         return "packed"
     return "nhwc"
 

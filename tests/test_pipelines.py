@@ -197,8 +197,8 @@ def test_select_engine_measured_table():
     assert select_engine(16, 512) == "packed"
     assert select_engine(32, 512) == "packed"
     assert select_engine(1, 768) == "packed"
+    assert select_engine(16, 256) == "packed"  # round-4 measured cell: 1.24x
     assert select_engine(64, 512) == "nhwc"   # NHWC scales, packed is flat
-    assert select_engine(16, 256) == "nhwc"   # measured: NHWC ahead at 256
     assert select_engine(96, 256) == "nhwc"
     assert select_engine(16, 512, kind="plain") == "nhwc"
 
