@@ -100,10 +100,14 @@ def main(argv=None):
     mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)
-    # donate the state: in-place param/opt buffer reuse on device
+    # donate the state: in-place param/opt buffer reuse on device.
+    # uint8 inputs, normalized inside the jitted step (4x less H2D; no
+    # per-step eager ops — see cli/train.py's leak note)
+    from ..ops import to_model_range as _tmr
+
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     step_fn = jax.jit(lambda s, x, k: pretrain_train_step(
-        s, tx, x, k, compute_dtype=dtype), donate_argnums=0)
+        s, tx, _tmr(x), k, compute_dtype=dtype), donate_argnums=0)
 
     os.makedirs(args.save_dir, exist_ok=True)
     mask_key = jax.random.PRNGKey(args.seed + 1)
@@ -129,7 +133,7 @@ def _run_epochs(args, monet, photo, state, step_fn, sharding, mask_key,
             it = ds.batches(args.batch_size, seed=args.seed + epoch, epochs=1,
                             process_index=jax.process_index(),
                             process_count=jax.process_count())
-            it = ((to_model_range(b),) for b in it)
+            it = ((b,) for b in it)  # uint8; step normalizes in-jit
             total, count = 0.0, 0
             for i, (imgs,) in enumerate(prefetch_to_device(it, sharding)):
                 mask_key, sub = jax.random.split(mask_key)
