@@ -48,6 +48,13 @@ def main(argv=None):
                         "time and HBM has headroom "
                         "(scripts/ab_remat_train_step.py); enable for "
                         "large batch/resolution runs that OOM")
+    p.add_argument("--lr_decay", action="store_true",
+                   help="CycleGAN-paper LR schedule: constant for the "
+                        "first half of training, linear to zero over the "
+                        "second half. OFF by default (the reference holds "
+                        "LRs constant, enhanced_train.py:36-43); measured "
+                        "motivation in docs/TRAINED_STUDY.md (late-phase "
+                        "adversarial drift under constant LRs)")
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append one JSON line per logged step/epoch here")
     p.add_argument("--image_size", type=int, default=256,
@@ -94,9 +101,19 @@ def main(argv=None):
                                host_size=args.image_size)
     print(f"monet: {len(monet)}  photo: {len(photo)}")
 
+    decay_steps = None
+    if args.lr_decay:
+        # steps/epoch from the smaller domain (zip truncates to it)
+        spe = min(len(monet), len(photo)) // args.batch_size or 1
+        decay_steps = args.num_epochs * spe
+        print(f"lr_decay: constant to step {decay_steps // 2}, then "
+              f"linear to 0 at {decay_steps}")
+    g_tx, d_tx = make_optimizers(decay_steps=decay_steps)
+    # the state's optimizer trees must come from the SAME pair the loop
+    # steps with (a scheduled adam carries a count in its state)
     state = cyclegan_init_state(jax.random.PRNGKey(args.seed), args.channels,
                                 args.num_transformer_blocks,
-                                pretrained_params=pre)
+                                pretrained_params=pre, txs=(g_tx, d_tx))
     start_epoch = 0
     if args.resume_dir:
         from ..train.checkpoint import latest_step, restore_train_state
@@ -107,7 +124,6 @@ def main(argv=None):
             print(f"resumed from {args.resume_dir} at epoch {start_epoch}")
         else:
             print(f"no checkpoints under {args.resume_dir}; starting fresh")
-    g_tx, d_tx = make_optimizers()
     mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
     state = replicate_tree(state, mesh)

@@ -52,15 +52,37 @@ class CycleGANState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizers(g_lr: float = G_LR, d_lr: float = D_LR):
-    g_tx = optax.adam(g_lr, b1=ADAM_BETAS[0], b2=ADAM_BETAS[1])
-    d_tx = optax.adam(d_lr, b1=ADAM_BETAS[0], b2=ADAM_BETAS[1])
+def make_optimizers(g_lr: float = G_LR, d_lr: float = D_LR,
+                    decay_steps: int | None = None,
+                    decay_start: int | None = None):
+    """Adam pair, reference learning rates (enhanced_train.py:36-43).
+
+    decay_steps/decay_start (both None by default = the reference's
+    constant-LR recipe): linear decay to zero from ``decay_start`` to
+    ``decay_steps`` — the CycleGAN paper's schedule (constant for the
+    first half, linear-to-zero for the second). Flag-gated extension:
+    the round-4 trained study measured late-phase adversarial drift
+    under constant LRs (validation SSIM peaks ~epoch 100-160, then the
+    discriminator over-wins and quality degrades — docs/TRAINED_STUDY
+    .md); the standard remedy is exactly this schedule.
+    """
+    def _sched(lr):
+        if decay_steps is None:
+            return lr
+        start = decay_start if decay_start is not None else decay_steps // 2
+        return optax.schedules.join_schedules(
+            [optax.constant_schedule(lr),
+             optax.linear_schedule(lr, 0.0, max(decay_steps - start, 1))],
+            [start])
+
+    g_tx = optax.adam(_sched(g_lr), b1=ADAM_BETAS[0], b2=ADAM_BETAS[1])
+    d_tx = optax.adam(_sched(d_lr), b1=ADAM_BETAS[0], b2=ADAM_BETAS[1])
     return g_tx, d_tx
 
 
 def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1,
                         pretrained_params=None, g_lr: float = G_LR,
-                        d_lr: float = D_LR) -> CycleGANState:
+                        d_lr: float = D_LR, txs=None) -> CycleGANState:
     """Build fresh G/D params (optionally warm-starting both generators from
     masked-pretrain weights non-strictly, enhanced_train.py:28-33)."""
     kab, kba, kda, kdb = jax.random.split(key, 4)
@@ -87,7 +109,10 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
     g_params = {"G_AB": g_ab, "G_BA": g_ba}
     d_params = {"D_A": d_a_params, "D_B": d_b_params}
     sn_state = {"D_A": d_a_sn, "D_B": d_b_sn}
-    g_tx, d_tx = make_optimizers(g_lr, d_lr)
+    # txs: the EXACT optimizer pair the train loop will step with — a
+    # scheduled adam carries a count in its state tree, so initializing
+    # with a mismatched (constant-LR) pair breaks tx.update at step 1
+    g_tx, d_tx = txs if txs is not None else make_optimizers(g_lr, d_lr)
     return CycleGANState(
         g_params=g_params, d_params=d_params, sn_state=sn_state,
         g_opt=g_tx.init(g_params), d_opt=d_tx.init(d_params),
