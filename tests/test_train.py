@@ -382,3 +382,45 @@ def test_fast_attention_train_step_matches_xla_losses(rng, monkeypatch):
     for k in l_xla:
         np.testing.assert_allclose(float(l_fast[k]), float(l_xla[k]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_lr_decay_schedule_semantics():
+    """--lr_decay (CycleGAN-paper schedule, cli/train.py): constant LR
+    through the first half of training, linear to zero at the end. With a
+    constant unit gradient adam's bias-corrected update magnitude is ~lr
+    exactly, so the realized step sizes trace the schedule."""
+    N = 10
+    g_tx, _ = make_optimizers(decay_steps=N)
+    params = {"w": jnp.zeros((1,), jnp.float32)}
+    opt = g_tx.init(params)
+    grads = {"w": jnp.ones((1,), jnp.float32)}
+    lrs = []
+    for _ in range(N):
+        updates, opt = g_tx.update(grads, opt, params)
+        lrs.append(-float(updates["w"][0]))
+    from multi_style_transfer_gan_tpu.train.cyclegan import G_LR
+    # first half: the reference's constant lr
+    for lr in lrs[: N // 2]:
+        assert abs(lr - G_LR) < 1e-9, lrs
+    # second half: strictly decreasing, reaching ~0 on the final step
+    second = lrs[N // 2:]
+    assert all(a > b for a, b in zip(second, second[1:])), lrs
+    assert second[-1] < G_LR * 0.25, lrs
+    # default (no decay_steps) stays constant — the reference recipe
+    g_tx0, _ = make_optimizers()
+    opt0 = g_tx0.init(params)
+    for _ in range(3):
+        updates, opt0 = g_tx0.update(grads, opt0, params)
+        assert abs(-float(updates["w"][0]) - G_LR) < 1e-9
+
+
+def test_lr_decay_state_tree_matches_loop_optimizer():
+    """cyclegan_init_state(txs=...) must build its optimizer state from the
+    SAME pair the loop steps with: a scheduled adam carries injected
+    hyperparam/count state absent from the plain adam tree (the exact
+    mismatch the --lr_decay wiring fixed)."""
+    txs = make_optimizers(decay_steps=100)
+    state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4, txs=txs)
+    want = jax.tree_util.tree_structure(txs[0].init(state.g_params))
+    got = jax.tree_util.tree_structure(state.g_opt)
+    assert want == got
