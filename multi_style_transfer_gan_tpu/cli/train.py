@@ -55,6 +55,14 @@ def main(argv=None):
                         "LRs constant, enhanced_train.py:36-43); measured "
                         "motivation in docs/TRAINED_STUDY.md (late-phase "
                         "adversarial drift under constant LRs)")
+    p.add_argument("--pool_size", type=int, default=0,
+                   help="discriminator replay buffer (the CycleGAN paper's "
+                        "image pool, 50 in the paper): D scores fakes "
+                        "sampled from a device-resident history instead of "
+                        "only the current batch. 0 (default) = the "
+                        "reference's behavior (enhanced_train.py:66-85); "
+                        "motivation in docs/TRAINED_STUDY.md (late-phase "
+                        "adversarial drift)")
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append one JSON line per logged step/epoch here")
     p.add_argument("--image_size", type=int, default=256,
@@ -139,10 +147,25 @@ def main(argv=None):
     # the main loop (round 4: the eager normalize's host shadows leaked
     # ~12 MB/step in the tunnel client — a 21k-step run hit the host OOM
     # killer at 130 GB RSS)
-    step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
-        s, to_model_range(a), to_model_range(b), g_tx, d_tx,
-        compute_dtype=dtype, remat=args.remat,
-        fast_attention=fast), donate_argnums=0)
+    pools = None
+    if args.pool_size > 0:
+        from ..train.pool import pool_init
+
+        pools = ((pool_init(args.pool_size, args.image_size, dtype),
+                  pool_init(args.pool_size, args.image_size, dtype)),
+                 jax.random.PRNGKey(args.seed + 1))
+        pools = replicate_tree(pools, mesh)
+        print(f"image pool: {args.pool_size} per direction, on device")
+        # donate the pool buffers too — XLA swaps entries in place
+        step_fn = jax.jit(lambda s, p, a, b: cyclegan_train_step(
+            s, to_model_range(a), to_model_range(b), g_tx, d_tx,
+            compute_dtype=dtype, remat=args.remat,
+            fast_attention=fast, pools=p), donate_argnums=(0, 1))
+    else:
+        step_fn = jax.jit(lambda s, a, b: cyclegan_train_step(
+            s, to_model_range(a), to_model_range(b), g_tx, d_tx,
+            compute_dtype=dtype, remat=args.remat,
+            fast_attention=fast), donate_argnums=0)
 
     try:
         for epoch in range(start_epoch, args.num_epochs):
@@ -160,7 +183,10 @@ def main(argv=None):
             paired = zip(it_a, it_b)  # uint8 host batches (see step_fn)
             steps = 0
             for i, (xa, xb) in enumerate(prefetch_to_device(paired, sharding)):
-                state, losses = step_fn(state, xa, xb)
+                if pools is not None:
+                    state, losses, pools = step_fn(state, pools, xa, xb)
+                else:
+                    state, losses = step_fn(state, xa, xb)
                 steps = i + 1
                 if (i + 1) % args.log_every == 0:
                     vals = {k: float(v) for k, v in losses.items()}

@@ -122,7 +122,8 @@ def cyclegan_init_state(key, channels: int = 16, num_transformer_blocks: int = 1
 def cyclegan_train_step(state: CycleGANState, real_A, real_B,
                         g_tx, d_tx, *, compute_dtype=jnp.float32,
                         remat=True, fast_attention=False,
-                        pair_batching=None, extra_g_loss=None):
+                        pair_batching=None, extra_g_loss=None,
+                        pools=None):
     """One full CycleGAN step. real_A/real_B: (B, H, W, 3) in [-1, 1].
 
     Returns (new_state, losses_dict) — losses match the reference's returned
@@ -151,6 +152,12 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
     ``f(fake_A, fake_B, real_A, real_B) -> scalar`` added to the G loss
     (differentiated through the generators) — NOT part of the reference's
     loss set.
+    pools: optional ``((pool_A, pool_B), key)`` — train/pool.py replay
+    buffers (the CycleGAN paper's image pool; NOT in the reference, which
+    scores D on current fakes only, enhanced_train.py:66-85). When given,
+    the D phase scores pool-sampled fakes instead of the current ones (the
+    G phase is unchanged) and the return becomes
+    ``(new_state, losses, (new_pools, new_key))``.
     """
     if pair_batching is None:
         pair_batching = bool(fast_attention)
@@ -188,6 +195,17 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
     fake_A0 = gen(state.g_params["G_BA"], xb)
     fake_B0 = jax.lax.stop_gradient(fake_B0)
     fake_A0 = jax.lax.stop_gradient(fake_A0)
+    new_pools = None
+    if pools is not None:
+        from .pool import pool_sample
+
+        (pool_a, pool_b), pkey = pools
+        pkey, ka, kb = jax.random.split(pkey, 3)
+        pool_a, fake_A0 = pool_sample(pool_a, fake_A0, ka)
+        pool_b, fake_B0 = pool_sample(pool_b, fake_B0, kb)
+        fake_A0 = fake_A0.astype(compute_dtype)
+        fake_B0 = fake_B0.astype(compute_dtype)
+        new_pools = ((pool_a, pool_b), pkey)
 
     # ---------------- discriminator phase ----------------
     def d_loss_fn(d_params):
@@ -244,6 +262,8 @@ def cyclegan_train_step(state: CycleGANState, real_A, real_B,
         "d_loss": d_loss, "g_loss": gan, "cycle_loss": cycle,
         "identity_loss": identity, "structure_loss": structure,
     }
+    if pools is not None:
+        return new_state, losses, new_pools
     return new_state, losses
 
 

@@ -424,3 +424,75 @@ def test_lr_decay_state_tree_matches_loop_optimizer():
     want = jax.tree_util.tree_structure(txs[0].init(state.g_params))
     got = jax.tree_util.tree_structure(state.g_opt)
     assert want == got
+
+
+def test_image_pool_law():
+    """train/pool.py replay buffer: fill phase passes fakes through while
+    inserting them; full phase conserves the multiset (every step either
+    passes the fake through untouched or swaps it with a history entry) and
+    mixes history into the D batch at ~p=0.5."""
+    from multi_style_transfer_gan_tpu.train import pool_init, pool_sample
+
+    P, H = 4, 8
+
+    def batch(vals):
+        return jnp.stack([jnp.full((H, H, 3), v, jnp.float32) for v in vals])
+
+    pool = pool_init(P, H)
+    first = batch([1.0, 2.0, 3.0, 4.0])
+    pool, out = jax.jit(pool_sample)(pool, first, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(first))
+    np.testing.assert_array_equal(np.asarray(pool.images), np.asarray(first))
+    assert int(pool.n) == P
+
+    # full phase: conservation — {new pool entries} + {outs} is exactly
+    # {old pool entries} + {new fakes} as multisets (constant images make
+    # the per-image mean an exact id)
+    second = batch([5.0, 6.0, 7.0, 8.0])
+    pool2, out2 = jax.jit(pool_sample)(pool, second, jax.random.PRNGKey(1))
+    ids = lambda x: sorted(np.asarray(x).mean(axis=(1, 2, 3)).tolist())
+    assert ids(jnp.concatenate([pool2.images, out2])) == ids(
+        jnp.concatenate([pool.images, second]))
+    assert int(pool2.n) == P
+
+    # over many full-phase steps, ~half the emitted images are history
+    pool_m = pool_init(P, H)
+    pool_m, _ = pool_sample(pool_m, first, jax.random.PRNGKey(2))
+    hist = 0
+    total = 0
+    v = 10.0
+    sample = jax.jit(pool_sample)
+    for i in range(50):
+        fakes = batch([v, v + 1, v + 2, v + 3])
+        pool_m, out = sample(pool_m, fakes, jax.random.PRNGKey(100 + i))
+        got = np.asarray(out).mean(axis=(1, 2, 3))
+        sent = np.asarray(fakes).mean(axis=(1, 2, 3))
+        hist += int((got != sent).sum())
+        total += len(sent)
+        v += 4
+    assert 0.3 < hist / total < 0.7, hist / total
+
+
+@pytest.mark.slow
+def test_cyclegan_step_with_image_pool(rng):
+    """pools= threads replay buffers through the jitted step: returns the
+    triple, losses stay finite, the pool fills, and the key advances."""
+    from multi_style_transfer_gan_tpu.train import pool_init
+
+    state = cyclegan_init_state(jax.random.PRNGKey(0), channels=4)
+    g_tx, d_tx = make_optimizers()
+    pools = ((pool_init(6, 64), pool_init(6, 64)), jax.random.PRNGKey(9))
+    xa = jnp.asarray(np.tanh(rng.standard_normal((2, 64, 64, 3))),
+                     jnp.float32)
+    xb = jnp.asarray(np.tanh(rng.standard_normal((2, 64, 64, 3))),
+                     jnp.float32)
+    step = jax.jit(lambda s, p, a, b: cyclegan_train_step(
+        s, a, b, g_tx, d_tx, pools=p))
+    state, losses, pools = step(state, pools, xa, xb)
+    state, losses, pools = step(state, pools, xa, xb)
+    for k in ("d_loss", "g_loss", "cycle_loss"):
+        assert np.isfinite(float(losses[k])), k
+    (pa, pb), key = pools
+    assert int(pa.n) == 4 and int(pb.n) == 4  # 2 steps x batch 2
+    assert not np.array_equal(np.asarray(key),
+                              np.asarray(jax.random.PRNGKey(9)))
