@@ -92,7 +92,13 @@ def main(argv=None):
     from ..weights import load_pth, extract_state_dict, plain_generator_from_sd
 
     pre = None
-    if args.pretrained and os.path.exists(args.pretrained):
+    if args.pretrained and not os.path.exists(args.pretrained):
+        # a typo'd path must not silently train from scratch — the silent
+        # version of this cost a full (wasted) warm-start-less run; it is
+        # also the failure the reference's own strict=False load hides
+        # (enhanced_train.py:28-33)
+        raise SystemExit(f"--pretrained {args.pretrained} does not exist")
+    if args.pretrained:
         print(f"warm-starting generators from {args.pretrained}")
         pre_sd = extract_state_dict(load_pth(args.pretrained))
         from ..weights import enhanced_generator_from_sd
@@ -122,19 +128,8 @@ def main(argv=None):
     state = cyclegan_init_state(jax.random.PRNGKey(args.seed), args.channels,
                                 args.num_transformer_blocks,
                                 pretrained_params=pre, txs=(g_tx, d_tx))
-    start_epoch = 0
-    if args.resume_dir:
-        from ..train.checkpoint import latest_step, restore_train_state
-
-        if latest_step(args.resume_dir) is not None:
-            state, start_epoch = restore_train_state(args.resume_dir, None,
-                                                     state)
-            print(f"resumed from {args.resume_dir} at epoch {start_epoch}")
-        else:
-            print(f"no checkpoints under {args.resume_dir}; starting fresh")
     mesh = make_mesh_for_batch(args.batch_size)
     sharding = data_sharding(mesh)
-    state = replicate_tree(state, mesh)
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     # fast default applies on TPU only — the Pallas kernels don't lower on
     # the CPU backend (interpret mode is a test-only shim)
@@ -154,8 +149,35 @@ def main(argv=None):
         pools = ((pool_init(args.pool_size, args.image_size, dtype),
                   pool_init(args.pool_size, args.image_size, dtype)),
                  jax.random.PRNGKey(args.seed + 1))
-        pools = replicate_tree(pools, mesh)
         print(f"image pool: {args.pool_size} per direction, on device")
+
+    start_epoch = 0
+    if args.resume_dir:
+        from ..train.checkpoint import latest_step, restore_train_state
+
+        if latest_step(args.resume_dir) is not None:
+            # the pool (buffer + fill count + PRNG key) is part of the run's
+            # D-phase distribution, so it resumes with the rest of the state;
+            # a pool-free checkpoint (older run, or --pool_size newly added)
+            # falls back to restoring the bare state with a fresh pool.
+            if pools is not None:
+                try:
+                    (state, pools), start_epoch = restore_train_state(
+                        args.resume_dir, None, (state, pools))
+                except Exception:
+                    state, start_epoch = restore_train_state(
+                        args.resume_dir, None, state)
+                    print("checkpoint has no pool state; resuming with a "
+                          "fresh (empty) image pool")
+            else:
+                state, start_epoch = restore_train_state(args.resume_dir,
+                                                         None, state)
+            print(f"resumed from {args.resume_dir} at epoch {start_epoch}")
+        else:
+            print(f"no checkpoints under {args.resume_dir}; starting fresh")
+    state = replicate_tree(state, mesh)
+    if pools is not None:
+        pools = replicate_tree(pools, mesh)
         # donate the pool buffers too — XLA swaps entries in place
         step_fn = jax.jit(lambda s, p, a, b: cyclegan_train_step(
             s, to_model_range(a), to_model_range(b), g_tx, d_tx,
@@ -198,7 +220,9 @@ def main(argv=None):
                 if args.resume_dir:
                     from ..train.checkpoint import save_train_state
 
-                    save_train_state(state, args.resume_dir, epoch + 1)
+                    save_train_state(state if pools is None
+                                     else (state, pools),
+                                     args.resume_dir, epoch + 1)
                 print(f"checkpoints saved at epoch {epoch + 1}")
             dt = time.time() - t0
             print(f"epoch {epoch + 1}/{args.num_epochs} done ({dt:.1f}s)")

@@ -34,6 +34,9 @@ class ImagePool(NamedTuple):
 def pool_init(pool_size: int, image_size: int, dtype=jnp.float32) -> ImagePool:
     """Empty pool. ``dtype`` should match the step's compute dtype so the
     sampled batch feeds the discriminator without a cast."""
+    if pool_size <= 0:
+        raise ValueError("pool_size must be positive; a zero-capacity pool "
+                         "means 'no pool' — pass pools=None instead")
     return ImagePool(
         images=jnp.zeros((pool_size, image_size, image_size, 3), dtype),
         n=jnp.zeros((), jnp.int32))
@@ -42,8 +45,20 @@ def pool_init(pool_size: int, image_size: int, dtype=jnp.float32) -> ImagePool:
 def pool_sample(pool: ImagePool, fakes: jnp.ndarray, key: Any):
     """Sequentially (scan over the batch, paper order) push each fake
     through the pool law. Returns ``(new_pool, d_batch)`` where ``d_batch``
-    has the same shape as ``fakes``."""
+    has the same shape as ``fakes``.
+
+    Cost note (data-parallel mesh): the scan is sequential over the GLOBAL
+    batch and each iteration dynamic-slices the batch-sharded ``fakes``,
+    so XLA gathers the fakes to every shard and serializes the update —
+    negligible at the deployed batch 8, but linear in global batch and
+    adds per-step collectives at pod scale. A pod-scale adopter should
+    vectorize the law (single permutation + mask over the batch) if the
+    pool update ever shows in profiles."""
     pool_size = pool.images.shape[0]
+    if pool_size <= 0:
+        raise ValueError("pool_sample on a zero-capacity pool; "
+                         "jax.random.randint over an empty range would "
+                         "return garbage indices — pass pools=None instead")
 
     def body(carry, inp):
         images, n = carry
