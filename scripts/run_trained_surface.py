@@ -19,6 +19,16 @@ those weights through every user-facing surface the reference ships:
   5. FID harness          : m_test parity — panels + test_results.txt
   6. GUI compare path     : pipelines.compare.compare_models headless
                             (the compare tab's worker)
+  7. advanced 5-variant   : generate_with_different_settings — standard/
+                            contrast/multiscale/detail/local + grid
+                            (advanced_transform.py:38-127)
+  8. local-style advanced : the segmentation-driven region-adaptive path
+                            (enhanced_local_style.py:178-292) AND the
+                            batch CLI's --local_style_mode advanced
+                            equalize/guided-filter chain (stage 3)
+  9. serving              : the micro-batch HTTP server answering real
+                            concurrent requests from the trained model;
+                            latency percentiles + img/s + /stats recorded
 
 Prints one summary JSON at the end; artifacts land under --output_dir.
 The int8 trained-weights A/B (VERDICT r3 item 2) is a separate chip run:
@@ -103,6 +113,11 @@ def run_batches(stage_dir, data_root, out_dir):
              canvas=256),
         dict(mode="local_style", direction="photo2monet", inp=testb,
              canvas=512),
+        # the segmentation-driven 'advanced' local-style path
+        # (enhanced_local_style.py:178-292) — round 5: every local_style
+        # mode now consumes trained weights
+        dict(mode="local_style", direction="photo2monet", inp=testb,
+             canvas=256, ls_mode="advanced"),
         # monet -> photo: raw both canvases (G_AB)
         dict(mode="cyclegan", direction="monet2photo", inp=testa, canvas=256),
         dict(mode="cyclegan", direction="monet2photo", inp=testa, canvas=512),
@@ -115,7 +130,7 @@ def run_batches(stage_dir, data_root, out_dir):
                 "--mode", r["mode"], "--direction", r["direction"],
                 "--models_dir", stage_dir, "--bf16", "--fast_attention",
                 "--canvas", str(r["canvas"]),
-                "--local_style_mode", "enhanced"]
+                "--local_style_mode", r.get("ls_mode", "enhanced")]
         rc = bpi.main(argv)
         assert rc in (0, None), f"batch CLI failed: {argv}"
         stats.append({**{k: v for k, v in r.items() if k != "inp"},
@@ -196,6 +211,119 @@ def gui_compare(stage_dir, data_root, out_dir):
     return {k: str(v) for k, v in res.items()}
 
 
+def advanced_variants(stage_dir, data_root, out_dir):
+    """The 5-variant advanced_transform surface
+    (advanced_transform.py:38-127): standard/contrast/multiscale/detail/
+    local variants + the comparison grid, from the trained G_BA."""
+    from multi_style_transfer_gan_tpu.cli import advanced_transform
+
+    img = str(sorted(Path(data_root, "testB").iterdir())[0])
+    adv_dir = os.path.join(out_dir, "advanced_variants")
+    advanced_transform.main(["--image", img,
+                             "--model",
+                             os.path.join(stage_dir, "G_BA_epoch_200.pth"),
+                             "--output_dir", adv_dir])
+    made = sorted(os.path.basename(p) for p in Path(adv_dir).iterdir())
+    assert len(made) >= 6, made  # 5 variants + comparison grid
+    print(f"advanced variants: {made}")
+    return {"files": made}
+
+
+def local_style_advanced(stage_dir, data_root, out_dir):
+    """The segmentation-driven region-adaptive path
+    (enhanced_local_style.py:178-292): from-scratch felzenszwalb
+    superpixels + per-region blending, on the trained G_BA."""
+    from multi_style_transfer_gan_tpu.cli import enhanced_local_style
+
+    img = str(sorted(Path(data_root, "testB").iterdir())[1])
+    out = os.path.join(out_dir, "local_style_advanced",
+                       "enhanced_local.png")
+    enhanced_local_style.main(["--image", img,
+                               "--model",
+                               os.path.join(stage_dir, "G_BA_epoch_200.pth"),
+                               "--output", out])
+    assert os.path.exists(out)
+    print(f"local-style advanced (segmentation): {out}")
+    return {"output": out}
+
+
+def serving_stage(stage_dir, data_root, out_dir, n_requests=24,
+                  concurrency=8):
+    """The micro-batch HTTP server answering REAL requests from the
+    trained model (serving/server.py): starts it in-process on a free
+    port, fires concurrent JPEG POSTs from the test split, records
+    latency percentiles + aggregate img/s + /stats, and shuts down."""
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from multi_style_transfer_gan_tpu.pipelines import load_generator
+    from multi_style_transfer_gan_tpu.serving import (
+        StyleTransferService, serve,
+    )
+
+    import jax
+
+    model = load_generator(os.path.join(stage_dir, "G_BA_epoch_200.pth"))
+    # Pallas kernels don't lower on the CPU backend (smoke runs)
+    fast = jax.default_backend() != "cpu"
+    service = StyleTransferService(model, canvas=256, max_batch=8,
+                                   compute_dtype=jnp.bfloat16,
+                                   fast_attention=fast)
+    server = serve(service, port=0)  # warmup=True compiles the batch shape
+    host, port = server.server_address
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    files = sorted(Path(data_root, "testB").iterdir())
+    payloads = [files[i % len(files)].read_bytes() for i in range(n_requests)]
+    latencies = []
+    lock = threading.Lock()
+    srv_dir = os.path.join(out_dir, "serving")
+    os.makedirs(srv_dir, exist_ok=True)
+
+    def fire(i):
+        req = urllib.request.Request(f"http://{host}:{port}/stylize",
+                                     data=payloads[i], method="POST")
+        t0 = time.time()
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = r.read()
+            assert r.status == 200, r.status
+        with lock:
+            latencies.append(time.time() - t0)
+        if i == 0:
+            with open(os.path.join(srv_dir, "response_0.png"), "wb") as f:
+                f.write(body)
+
+    t0 = time.time()
+    threads = []
+    for i in range(n_requests):  # bounded client concurrency
+        th = threading.Thread(target=fire, args=(i,))
+        th.start()
+        threads.append(th)
+        while sum(th.is_alive() for th in threads) >= concurrency:
+            time.sleep(0.005)
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+
+    with urllib.request.urlopen(f"http://{host}:{port}/stats",
+                                timeout=30) as r:
+        stats = json.loads(r.read())
+    server.shutdown()
+    service.close()
+
+    lat = np.sort(latencies)
+    res = {"n_requests": n_requests, "concurrency": concurrency,
+           "img_s": round(n_requests / wall, 2),
+           "latency_p50_s": round(float(lat[len(lat) // 2]), 3),
+           "latency_p95_s": round(float(lat[int(len(lat) * 0.95)]), 3),
+           "server_stats": stats}
+    print("serving:", json.dumps(res, indent=1))
+    return res
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--models_dir", required=True)
@@ -203,7 +331,8 @@ def main(argv=None):
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--skip", type=str, default="",
-                    help="comma list: convert,batch,study,fid,gui")
+                    help="comma list: convert,batch,study,fid,gui,"
+                         "advanced,localadv,serving")
     args = ap.parse_args(argv)
 
     from multi_style_transfer_gan_tpu.utils import enable_compilation_cache
@@ -227,6 +356,15 @@ def main(argv=None):
     if "gui" not in skip:
         summary["gui"] = gui_compare(stage_dir, args.data_root,
                                      args.output_dir)
+    if "advanced" not in skip:
+        summary["advanced_variants"] = advanced_variants(
+            stage_dir, args.data_root, args.output_dir)
+    if "localadv" not in skip:
+        summary["local_style_advanced"] = local_style_advanced(
+            stage_dir, args.data_root, args.output_dir)
+    if "serving" not in skip:
+        summary["serving"] = serving_stage(stage_dir, args.data_root,
+                                           args.output_dir)
     path = os.path.join(args.output_dir, "surface_summary.json")
     with open(path, "w") as f:
         json.dump(summary, f, indent=1, default=float)
