@@ -110,6 +110,10 @@ def test_grouped_zero_window_is_zero_safe(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # whole-generator interpret-mode compile, 30s+ alone —
+# the heaviest default-tier test by 3x (r5 re-tier, pytest.ini budget);
+# the flag's kernel-level parity stays default-tier
+# (test_window_attention_* / test_kernel_attention_matches_reference)
 def test_fast_attention_flag_matches(rng, interpret_pallas):
     from multi_style_transfer_gan_tpu.models import (
         enhanced_generator_apply, enhanced_generator_init,
@@ -268,8 +272,10 @@ def test_window_attention_v3_fused_io_matches_reference(rng):
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # both variants: heavy fused fwd compile (r5 re-tier,
+# pytest.ini budget — the 32-dim variant alone measured >10s idle-host)
 @pytest.mark.parametrize("dim,hw", [
-    pytest.param(64, (16, 24), marks=pytest.mark.slow),  # deployed dim: slow tier
+    (64, (16, 24)),  # deployed dim
     (32, (8, 8)),
 ])
 def test_fused_structural_block_matches_reference(rng, dim, hw):
