@@ -239,7 +239,8 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
                   smooth: bool = True, batch_size: int = 64,
                   decode_workers: int = 8, compute_dtype=None,
                   fast_attention: bool = False, mesh=None,
-                  engine: str = "auto", canvas: int = CANVAS) -> dict:
+                  engine: str = "auto", canvas: int = CANVAS,
+                  prefetch_depth: int = 2, fetch_workers: int = 1) -> dict:
     """Process every image in ``input_dir``; returns a stats dict.
 
     Output layout matches the reference: ``{out}/cyclegan_{direction}/name``
@@ -257,6 +258,10 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     canvas: working resolution (the reference fixes 256 —
     batch_process_images.py:186-200; any multiple of 32 works here, e.g.
     512 for higher-fidelity output at the cost of ~4x compute).
+    prefetch_depth / fetch_workers: host-overlap tuning knobs (the
+    decode+H2D thread's queue bound and the D2H pool width) — defaults
+    are the measured round-5 winners on the single-core tunnel host
+    (scripts/ab_e2e_256_hunt.py); exposed for A/B on other hosts.
     """
     if canvas % 32:
         raise ValueError(f"canvas must be a multiple of 32, got {canvas}")
@@ -418,7 +423,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     # 64x256^2 batch), and running it serially with decode/put/save capped
     # the whole folder pipeline at ~24 img/s vs the ~158 img/s host-I/O
     # roofline (scripts/ab_host_io.py).
-    fetch_pool = ThreadPoolExecutor(max_workers=1)
+    fetch_pool = ThreadPoolExecutor(max_workers=fetch_workers)
 
     # Decode + H2D also get their own thread (bounded depth 2): H2D of
     # batch N+1 then overlaps D2H of batch N — the two directions DO
@@ -429,7 +434,7 @@ def batch_process(model: LoadedModel, input_dir, output_dir, *,
     import queue as _queue
     import threading as _threading
 
-    def _prefetched(gen, depth=2):
+    def _prefetched(gen, depth=prefetch_depth):
         q = _queue.Queue(maxsize=depth)
         done = object()
 
