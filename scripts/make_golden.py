@@ -13,7 +13,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+
+# The golden must be generated on the platform the default test tier runs
+# on (tests/conftest.py forces CPU); the env's sitecustomize force-loads
+# the TPU tunnel backend even under JAX_PLATFORMS=cpu, so pin it here.
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
