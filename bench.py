@@ -368,6 +368,13 @@ def end_to_end(canvas=256, transfer=None):
         res["transfer_floor_img_s"] = round(floor, 1)
         res["transfer_ceiling_img_s"] = round(ceiling, 1)
         res["frac_of_ceiling"] = round(stats["imgs_per_sec"] / ceiling, 3)
+        # The round-5 overlap ablation (docs/PERFORMANCE.md "canvas-256
+        # regression hunt") measured that pipeline-shaped bulk transfers
+        # effectively SERIALIZE on this tunnel (chunked-D2H + H2D
+        # concurrency recovers <17% of the smaller direction), so the
+        # floor — not the full-overlap ceiling — is the operative bound;
+        # frac_of_floor ~1.0 means the host pipeline is saturating it.
+        res["frac_of_floor"] = round(stats["imgs_per_sec"] / floor, 3)
     return res
 
 

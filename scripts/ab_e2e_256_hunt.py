@@ -87,6 +87,9 @@ def main():
             return row
 
         rows = [run("shipped_defaults")]
+        # auto resolves nhwc at this shape; a forced-nhwc arm inside the
+        # same session gives ab_auto_overhead.py a better-sampled control
+        rows.append(run("forced_nhwc", engine="nhwc"))
         for depth in (2, 4, 6):
             for fw in (1, 2):
                 if (depth, fw) == (2, 1):
