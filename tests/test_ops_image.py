@@ -26,7 +26,13 @@ def _pil_canvas(img_u8, canvas=256, fill=255):
     return np.asarray(cv)
 
 
-@pytest.mark.parametrize("shape", [(300, 200), (180, 320), (256, 256)])
+@pytest.mark.parametrize("shape", [
+    # r5 re-tier (pytest.ini budget): one aspect-ratio case stays in the
+    # default tier; the other orientations cost ~4s each and move to slow
+    pytest.param((300, 200), marks=pytest.mark.slow),
+    pytest.param((180, 320), marks=pytest.mark.slow),
+    (256, 256),
+])
 def test_canvas_paste_close_to_pil(rng, shape):
     img = (rng.random((*shape, 3)) * 255).astype(np.uint8)
     ref = _pil_canvas(img).astype(np.float32) / 255.0
@@ -49,6 +55,7 @@ def test_canvas_paste_close_to_pil(rng, shape):
     assert np.quantile(diff, 0.99) < 0.08
 
 
+@pytest.mark.slow  # r5 re-tier: batched-shape compile only, no oracle
 def test_canvas_paste_batched(rng):
     imgs = rng.random((3, 200, 300, 3)).astype(np.float32)
     out, mask = canvas_paste(jnp.asarray(imgs), canvas=128)
@@ -96,6 +103,8 @@ def test_model_range_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(back), x / 255.0, atol=1e-6)
 
 
+@pytest.mark.slow  # r5 re-tier: the truncation edge case; the square
+# oracle (test_resize_center_crop_square) keeps default-tier coverage
 def test_resize_center_crop_truncates_long_side(rng):
     # 333x334: long side = int(256*334/333) = 256 (round would give 257,
     # shifting content half a pixel vs torchvision)
