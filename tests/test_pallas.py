@@ -32,7 +32,11 @@ def interpret_pallas(monkeypatch):
     monkeypatch.setattr(wag.pl, "pallas_call", interp)
 
 
-@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 32, 32)])
+@pytest.mark.parametrize("shape", [
+    (2, 32, 32, 16),
+    # r5 re-tier (pytest.ini budget): the C=32 variant moves to slow
+    pytest.param((1, 64, 32, 32), marks=pytest.mark.slow),
+])
 def test_fused_window_attention_matches_reference(rng, interpret_pallas,
                                                   shape):
     B, H, W, C = shape
@@ -56,8 +60,13 @@ def test_fused_window_attention_matches_reference(rng, interpret_pallas,
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("shape", [(2, 32, 32, 16), (1, 64, 64, 32),
-                                   (1, 32, 64, 64), (3, 16, 16, 8)])
+@pytest.mark.parametrize("shape", [
+    (2, 32, 32, 16),
+    # r5 re-tier: one C=16 case stays default; wider/odd variants -> slow
+    pytest.param((1, 64, 64, 32), marks=pytest.mark.slow),
+    pytest.param((1, 32, 64, 64), marks=pytest.mark.slow),
+    pytest.param((3, 16, 16, 8), marks=pytest.mark.slow),
+])
 def test_grouped_window_attention_matches_reference(rng, shape):
     from multi_style_transfer_gan_tpu.ops.pallas.window_attention_grouped \
         import grouped_window_channel_attention
@@ -141,7 +150,11 @@ def interpret_packed_pallas(monkeypatch):
     monkeypatch.setattr(pa.pl, "pallas_call", interp)
 
 
-@pytest.mark.parametrize("C", [8, 16])
+@pytest.mark.parametrize("C", [
+    8,
+    # r5 re-tier: the C=16 case costs ~7s alone -> slow
+    pytest.param(16, marks=pytest.mark.slow),
+])
 def test_packed_attention_kernel_matches_reference(rng, interpret_packed_pallas, C):
     from multi_style_transfer_gan_tpu.models.enhanced_generator import (
         local_attention_init,
@@ -162,8 +175,12 @@ def test_packed_attention_kernel_matches_reference(rng, interpret_packed_pallas,
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("shape", [(2, 16, 32, 16), (1, 16, 16, 32),
-                                   (4, 8, 8, 8)])
+@pytest.mark.parametrize("shape", [
+    (2, 16, 32, 16),
+    # r5 re-tier: the deployed-width case stays default
+    pytest.param((1, 16, 16, 32), marks=pytest.mark.slow),
+    pytest.param((4, 8, 8, 8), marks=pytest.mark.slow),
+])
 def test_packed_grouped_attention_matches_reference(rng, shape):
     """Packed-layout grouped-Gram entry == reference math.
 
@@ -189,7 +206,11 @@ def test_packed_grouped_attention_matches_reference(rng, shape):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("C", [8, 16, 32])
+@pytest.mark.parametrize("C", [
+    8, 16,
+    # r5 re-tier: C=32 (the widest, slowest interpret run) -> slow
+    pytest.param(32, marks=pytest.mark.slow),
+])
 def test_window_attention_v3_matches_reference(rng, C):
     """v3 (dense block-diagonal packed-row kernel) == reference math.
 
@@ -460,6 +481,8 @@ def test_train_kernel_forward_and_grads_match_xla(rng, shape):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # r5 re-tier: zero-window edge case (~6s); the main
+# train-kernel fwd/grads parity stays default-tier
 def test_train_kernel_zero_window_grads_finite(rng):
     from multi_style_transfer_gan_tpu.ops.pallas.window_attention_train \
         import window_channel_attention_train
